@@ -1,0 +1,115 @@
+"""Batched ensemble solving: vmap of the integration state machine.
+
+This is the TPU-native headline feature (SURVEY.md §2 "DP" row): thousands of
+independent IVPs integrate in lock-step under ``jax.vmap`` of the
+``lax.while_loop`` driver, each with its own adaptive step size, step counters
+and status code; finished trajectories are frozen by the while-loop batching
+rule until the whole batch converges.
+
+The lean final-state mode carries no output buffers — ideal for Monte Carlo /
+parameter sweeps and the benchmark metric (IVPs/sec/chip).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import canonical_method
+from .core.driver import DriverConfig, make_driver, run_args
+from .methods import get_engine
+
+
+class EnsembleResult(NamedTuple):
+    t: Any        # (B,) final time per trajectory
+    y: Any        # (B, n) final state
+    status: Any   # (B,) int32 internal status codes (0 = success)
+    nfev: Any     # (B,)
+    nstep: Any    # (B,)
+    naccpt: Any   # (B,)
+    nrejct: Any   # (B,)
+
+
+_ENSEMBLE_CACHE: dict = {}
+
+
+def _hashable(obj):
+    try:
+        hash(obj)
+        return obj
+    except TypeError:
+        return id(obj)
+
+
+def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
+                          jac=None, max_steps: int = 100_000,
+                          first_step: Optional[float] = None) -> Callable:
+    """Return a jittable ``solver(y0_batch, t0, tf, rtol, atol) -> EnsembleResult``.
+
+    The returned function is pure (jit/vmap/shard_map composable); y0_batch has
+    shape (B, n).  Per-trajectory t0/tf are supported by passing (B,) arrays.
+    """
+    dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+    method = canonical_method(method)
+
+    def rhs(t, y):
+        return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
+
+    jac_fn = None
+    if method in ("RADAU", "BDF"):
+        if jac is not None and callable(jac):
+            def jac_fn(t, y):
+                return jnp.asarray(jac(t, y, *args), dtype).reshape(n, n)
+        else:
+            def jac_fn(t, y):
+                return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+
+    engine, p = get_engine(method, need_cont=False, jac_fn=jac_fn, n=n)
+    cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0, event_spec=None)
+    init_carry, run_chunk, _ = make_driver(engine, p, cfg, rhs)
+
+    def solve_one(y0, t0, tf, rtol, atol):
+        ra = run_args(tf, jnp.broadcast_to(jnp.asarray(rtol, dtype), (n,)),
+                      jnp.broadcast_to(jnp.asarray(atol, dtype), (n,)),
+                      jnp.abs(tf - t0), 0.0, max_steps, dtype)
+        fs = jnp.asarray(first_step, dtype) if first_step is not None else None
+        c = init_carry(t0, y0, fs, ra)
+        c = run_chunk(c, ra)
+        return EnsembleResult(t=c.t, y=c.y, status=c.status, nfev=c.nfev,
+                              nstep=c.nstep, naccpt=c.naccpt, nrejct=c.nrejct)
+
+    def solver(y0_batch, t0, tf, rtol, atol):
+        y0_batch = jnp.asarray(y0_batch, dtype)
+        B = y0_batch.shape[0]
+        t0_b = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
+        tf_b = jnp.broadcast_to(jnp.asarray(tf, dtype), (B,))
+        return jax.vmap(solve_one, in_axes=(0, 0, 0, None, None))(
+            y0_batch, t0_b, tf_b, rtol, atol)
+
+    return solver
+
+
+def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
+                       atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
+                       first_step=None, dtype=None) -> EnsembleResult:
+    """One-shot batched solve to final state (compiled solver cached)."""
+    y0_batch = np.atleast_2d(np.asarray(y0_batch))
+    n = y0_batch.shape[1]
+    key = ("ensemble", canonical_method(method), n, str(dtype),
+           _hashable(fun), tuple(_hashable(a) for a in tuple(args)),
+           _hashable(jac), max_steps, first_step is not None)
+    entry = _ENSEMBLE_CACHE.get(key)
+    if entry is None:
+        solver = build_ensemble_solver(
+            fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
+            max_steps=max_steps, first_step=first_step)
+        entry = jax.jit(solver)
+        _ENSEMBLE_CACHE[key] = entry
+    t0, tf = float(t_span[0]), float(t_span[1])
+    return entry(y0_batch, t0, tf, rtol, atol)
+
+
+math  # referenced

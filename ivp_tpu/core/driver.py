@@ -1,0 +1,190 @@
+"""Generic integration driver: one ``lax.while_loop`` around any step engine.
+
+The reference gives every integrator its own monolithic time loop with a
+mutable callback (SolOut).  Here the loop is a single generic state machine:
+
+    carry -> engine.attempt -> [events] -> [record] -> counters/status -> carry
+
+All control flow is branchless/masked, so ``jax.vmap`` of ``run_chunk`` gives
+lock-step ensembles with per-trajectory adaptive steps, done-masking and
+per-trajectory status codes (SURVEY.md §7 "hard parts" #1).
+
+Recording uses preallocated ``chunk``-sized buffers; the host drains them and
+re-enters, so total steps are unbounded while device memory stays static.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Status
+from ..core.common import tree_where
+from ..core.events import EventSpec, EvState, init_ev_state, process_events
+from ..methods.base import Engine, RunArgs
+
+
+@dataclasses.dataclass(frozen=True)
+class DriverConfig:
+    """Static driver configuration (part of the compile key)."""
+
+    rec_cap: int = 0           # step records per chunk (0 = final-state only)
+    record_cont: bool = False  # also record dense coefficients
+    ncoeff: int = 0
+    event_spec: Optional[EventSpec] = None
+
+
+class Carry(NamedTuple):
+    t: Any
+    y: Any
+    ms: Any
+    status: Any   # int32, Status.RUNNING while integrating
+    done: Any     # bool
+    nfev: Any
+    njev: Any
+    nlu: Any
+    nstep: Any
+    naccpt: Any
+    nrejct: Any
+    n_rec: Any
+    rec_t: Any     # (cap,)
+    rec_y: Any     # (cap, n)
+    rec_xold: Any  # (cap,)
+    rec_h: Any     # (cap,)
+    rec_cont: Any  # (cap, C, n) or (cap, 0, n)
+    ev: EvState
+
+
+def _i32(v):
+    return jnp.asarray(v, jnp.int32)
+
+
+def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
+    """Build (init_carry, run_chunk) for a given engine + static config."""
+    spec = cfg.event_spec
+    has_events = spec is not None and spec.n_events > 0
+    cap = cfg.rec_cap
+    C = cfg.ncoeff if cfg.record_cont else 0
+
+    def init_carry(t0, y0, first_step, ra: RunArgs) -> Carry:
+        dtype = y0.dtype
+        n = y0.shape[-1]
+        ms, nfev0 = engine.init(rhs, t0, y0, first_step, ra, p)
+        ev = (init_ev_state(events_fn, t0, y0, spec, dtype)
+              if has_events else
+              EvState(g_prev=jnp.zeros((0,), dtype), hits=jnp.zeros((0,), jnp.int32),
+                      n_rec=jnp.zeros((0,), jnp.int32), t_buf=jnp.zeros((0, 1), dtype),
+                      y_buf=jnp.zeros((0, 1, n), dtype)))
+        return Carry(
+            t=jnp.asarray(t0, dtype), y=y0, ms=ms,
+            status=_i32(Status.RUNNING), done=jnp.zeros((), bool),
+            nfev=_i32(nfev0), njev=_i32(0), nlu=_i32(0),
+            nstep=_i32(0), naccpt=_i32(0), nrejct=_i32(0),
+            n_rec=_i32(0),
+            rec_t=jnp.zeros((cap,), dtype),
+            rec_y=jnp.zeros((cap, n), dtype),
+            rec_xold=jnp.zeros((cap,), dtype),
+            rec_h=jnp.zeros((cap,), dtype),
+            rec_cont=jnp.zeros((cap, C, n), dtype),
+            ev=ev,
+        )
+
+    def body(c: Carry, ra: RunArgs) -> Carry:
+        res = engine.attempt(rhs, c.t, c.y, c.naccpt, c.ms, ra, p)
+        adv = res.advance
+
+        # ---- Events (on advanced steps only) ----
+        if has_events:
+            out = process_events(
+                events_fn, engine.interp, res.cont, res.xold, res.h_used,
+                c.t, c.y, res.t_new, res.y_new, c.ms.posneg, c.ev, spec,
+            )
+            ev_new = tree_where(adv, out.state, c.ev)
+            terminal = adv & out.terminal
+            t_rec = jnp.where(terminal, out.t_term, res.t_new)
+            y_rec = jnp.where(terminal, out.y_term, res.y_new)
+        else:
+            ev_new = c.ev
+            terminal = jnp.zeros((), bool)
+            t_rec, y_rec = res.t_new, res.y_new
+
+        # ---- Record the accepted step ----
+        if cap:
+            idx = jnp.where(adv, c.n_rec, cap)  # out-of-bounds => dropped
+            rec_t = c.rec_t.at[idx].set(t_rec, mode="drop")
+            rec_y = c.rec_y.at[idx].set(y_rec, mode="drop")
+            rec_xold = c.rec_xold.at[idx].set(res.xold, mode="drop")
+            rec_h = c.rec_h.at[idx].set(res.h_used, mode="drop")
+            rec_cont = (c.rec_cont.at[idx].set(res.cont, mode="drop")
+                        if C else c.rec_cont)
+            n_rec = c.n_rec + adv.astype(jnp.int32)
+        else:
+            rec_t, rec_y = c.rec_t, c.rec_y
+            rec_xold, rec_h, rec_cont = c.rec_xold, c.rec_h, c.rec_cont
+            n_rec = c.n_rec
+
+        # ---- Counters ----
+        nstep = c.nstep + res.count_step.astype(jnp.int32)
+        naccpt = c.naccpt + res.accepted.astype(jnp.int32)
+        nrejct = c.nrejct + res.count_reject.astype(jnp.int32)
+        nfev = c.nfev + res.nfev_inc
+        njev = c.njev + res.njev_inc
+        nlu = c.nlu + res.nlu_inc
+
+        # ---- Status resolution (priority: engine failure > terminal event >
+        #      reached tend > step budget) ----
+        status = res.status
+        running = status == Status.RUNNING
+        status = jnp.where(running & terminal, _i32(Status.USER_INTERRUPT), status)
+        running = status == Status.RUNNING
+        status = jnp.where(running & res.finished, _i32(Status.SUCCESS), status)
+        running = status == Status.RUNNING
+        status = jnp.where(running & (nstep > ra.max_steps),
+                           _i32(Status.NEED_LARGER_NMAX), status)
+        done = status != Status.RUNNING
+
+        return Carry(
+            t=res.t_new, y=res.y_new, ms=res.ms,
+            status=status, done=done,
+            nfev=nfev, njev=njev, nlu=nlu,
+            nstep=nstep, naccpt=naccpt, nrejct=nrejct,
+            n_rec=n_rec, rec_t=rec_t, rec_y=rec_y,
+            rec_xold=rec_xold, rec_h=rec_h, rec_cont=rec_cont,
+            ev=ev_new,
+        )
+
+    def run_chunk(c: Carry, ra: RunArgs) -> Carry:
+        """Integrate until done or the record buffer fills (pure; jit me)."""
+
+        def cond(c):
+            go = ~c.done
+            if cap:
+                go = go & (c.n_rec < cap)
+            return go
+
+        return lax.while_loop(cond, lambda c: body(c, ra), c)
+
+    def reset_records(c: Carry) -> Carry:
+        """Host-side drain helper: clear the record cursor between chunks."""
+        return c._replace(n_rec=_i32(0))
+
+    return init_carry, run_chunk, reset_records
+
+
+def run_args(tend, rtol, atol, hmax, hmin, max_steps, dtype) -> RunArgs:
+    rtol = jnp.asarray(rtol, dtype)
+    atol = jnp.asarray(atol, dtype)
+    return RunArgs(
+        tend=jnp.asarray(tend, dtype),
+        rtol=rtol, atol=atol,
+        hmax=jnp.asarray(abs(hmax), dtype) if not hasattr(hmax, "dtype") else jnp.abs(hmax),
+        hmin=jnp.asarray(abs(hmin), dtype) if not hasattr(hmin, "dtype") else jnp.abs(hmin),
+        max_steps=_i32(max_steps),
+    )
+
+
+jax  # keep import referenced
+Tuple

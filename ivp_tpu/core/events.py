@@ -1,0 +1,132 @@
+"""In-loop event detection: sign-change tests, Brent refinement, terminal logic.
+
+Runs inside the integration ``while_loop`` after every accepted step, on the
+step's dense interpolant (reference src/solve/solout.rs:158-331).  The event
+count is static, so the per-event work is unrolled at trace time; Brent runs
+as a bounded inner ``lax.while_loop`` that vmaps over ensemble lanes.
+
+Semantics matched to the reference / SciPy:
+* direction-aware crossing test (solout.rs:167-176),
+* root refinement with scipy.brentq tolerances (xtol=2e-12),
+* same-step events processed in chronological (integration-direction) order,
+* a terminal event truncates later events and interrupts the integration with
+  the event point as the final sample (solout.rs:297-326).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from .common import brentq
+
+
+@dataclasses.dataclass(frozen=True)
+class EventSpec:
+    """Static event configuration (part of the compile key)."""
+
+    n_events: int
+    directions: Tuple[int, ...]      # -1 / 0 / +1 per event
+    terminal_counts: Tuple[int, ...]  # 0 = never terminates
+    cap: int = 512                    # recorded occurrences per event
+
+
+class EvState(NamedTuple):
+    g_prev: Any   # (E,) event values at the previous accepted point
+    hits: Any     # (E,) int32 occurrence counts
+    n_rec: Any    # (E,) int32 recorded counts (saturating at cap)
+    t_buf: Any    # (E, cap)
+    y_buf: Any    # (E, cap, n)
+
+
+class EventOutcome(NamedTuple):
+    state: EvState
+    terminal: Any  # bool — a terminal event fired this step
+    t_term: Any    # event time of the (earliest) terminal event
+    y_term: Any    # state at that event
+
+
+def init_ev_state(events_fn, t0, y0, spec: EventSpec, dtype) -> EvState:
+    E, cap, n = spec.n_events, spec.cap, y0.shape[-1]
+    g0 = events_fn(t0, y0) if E else jnp.zeros((0,), dtype)
+    return EvState(
+        g_prev=g0,
+        hits=jnp.zeros((E,), jnp.int32),
+        n_rec=jnp.zeros((E,), jnp.int32),
+        t_buf=jnp.zeros((E, cap), dtype),
+        y_buf=jnp.zeros((E, cap, n), dtype),
+    )
+
+
+def _crossed(g_prev, g_curr, direction: int):
+    if direction > 0:
+        return (g_prev < 0.0) & (g_curr >= 0.0)
+    if direction < 0:
+        return (g_prev > 0.0) & (g_curr <= 0.0)
+    return ((g_prev <= 0.0) & (g_curr >= 0.0)) | ((g_prev >= 0.0) & (g_curr <= 0.0))
+
+
+def process_events(events_fn, interp, cont, xold, h_used,
+                   t_old, y_old, t_new, y_new, posneg,
+                   ev: EvState, spec: EventSpec) -> EventOutcome:
+    """Detect/refine/record events for one accepted step."""
+    g_curr = events_fn(t_new, y_new)
+    E = spec.n_events
+
+    roots = []
+    y_roots = []
+    crossed_list = []
+    for i in range(E):
+        gp = ev.g_prev[i]
+        gc = g_curr[i]
+        cr = _crossed(gp, gc, spec.directions[i])
+        crossed_list.append(cr)
+
+        def gfun(tau, i=i):
+            return events_fn(tau, interp(cont, xold, h_used, tau))[i]
+
+        root = lax.cond(
+            cr,
+            lambda: brentq(gfun, t_old, t_new, gp, gc),
+            lambda: t_new,
+        )
+        y_root = interp(cont, xold, h_used, root)
+        # Exact endpoint states (reference solout.rs:199-203).
+        y_root = jnp.where(root == t_new, y_new, y_root)
+        y_root = jnp.where(root == t_old, y_old, y_root)
+        roots.append(root)
+        y_roots.append(y_root)
+
+    roots = jnp.stack(roots)            # (E,)
+    y_roots = jnp.stack(y_roots)        # (E, n)
+    crossed = jnp.stack(crossed_list)   # (E,)
+
+    tc = jnp.asarray(spec.terminal_counts, jnp.int32)
+    trigger = crossed & (tc > 0) & (ev.hits + 1 >= tc)
+
+    # Chronological (integration-direction) ordering with terminal truncation.
+    order_key = roots * posneg
+    term_key = jnp.where(trigger, order_key, jnp.inf)
+    terminal = jnp.any(trigger)
+    cut_key = jnp.min(term_key)
+    record = crossed & jnp.where(terminal, order_key <= cut_key, True)
+
+    # Record occurrences (saturating ring-free buffers; out-of-bounds writes
+    # dropped so a full buffer just stops recording).
+    idx = jnp.where(record & (ev.n_rec < spec.cap), ev.n_rec, spec.cap)
+    rows = jnp.arange(E)
+    t_buf = ev.t_buf.at[rows, idx].set(roots, mode="drop")
+    y_buf = ev.y_buf.at[rows, idx].set(y_roots, mode="drop")
+    n_rec = ev.n_rec + record.astype(jnp.int32)
+    hits = ev.hits + record.astype(jnp.int32)
+
+    i_term = jnp.argmin(term_key)
+    t_term = roots[i_term]
+    y_term = y_roots[i_term]
+
+    new_state = EvState(g_prev=g_curr, hits=hits, n_rec=jnp.minimum(n_rec, spec.cap),
+                        t_buf=t_buf, y_buf=y_buf)
+    return EventOutcome(state=new_state, terminal=terminal,
+                        t_term=t_term, y_term=y_term)

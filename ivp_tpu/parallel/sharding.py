@@ -1,0 +1,64 @@
+"""Multi-chip ensemble sharding over a TPU mesh.
+
+Independent trajectories need no collectives in the hot loop (SURVEY.md §2,
+parallelism table): the ensemble axis is sharded over the mesh with
+``shard_map`` so every device runs its *own* ``lax.while_loop`` — devices
+finish independently instead of lock-stepping on a global loop condition,
+and results are gathered only at the end (by the output sharding).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..batch import build_ensemble_solver
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data"):
+    """Wrap a ``build_ensemble_solver`` result for SPMD execution over ``mesh``.
+
+    The batch axis of ``y0_batch`` is split across devices; each device runs an
+    independent while-loop over its shard (no collectives inside).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        lambda y0, t0, tf, rtol, atol: solver(y0, t0, tf, rtol, atol),
+        mesh=mesh,
+        in_specs=(P(axis), None, None, None, None),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
+                      atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
+                      mesh: Optional[Mesh] = None, axis: str = "data",
+                      dtype=None):
+    """Batched solve with the ensemble axis sharded over a device mesh.
+
+    The batch size must be divisible by the mesh size.
+    """
+    y0_batch = jnp.atleast_2d(jnp.asarray(y0_batch))
+    n = y0_batch.shape[1]
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,
+                                   args=tuple(args), jac=jac,
+                                   max_steps=max_steps)
+    runner = shard_ensemble_solver(solver, mesh, axis)
+    t0, tf = float(t_span[0]), float(t_span[1])
+    y0_batch = jax.device_put(y0_batch, NamedSharding(mesh, P(axis)))
+    return runner(y0_batch, t0, tf, rtol, atol)

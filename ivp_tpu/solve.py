@@ -1,0 +1,511 @@
+"""SciPy-compatible ``solve_ivp`` facade.
+
+API parity target: the reference's Python entry point
+(reference src/python/solve.rs:150-432) which itself mirrors
+``scipy.integrate.solve_ivp``.  The RHS / events / jacobian are JAX-traceable
+callables compiled *into* the integration loop, eliminating the per-RHS-call
+language-boundary cost the reference pays (SURVEY.md §3.2).
+
+Output sampling (``t_eval``), dense output and ``first_step`` output
+enforcement are vectorized post-processing passes over the recorded per-step
+interpolant segments, instead of the reference's in-loop callback
+(reference src/solve/solout.rs).  Event detection runs in-loop (it must stop
+the integration) — see core/events.py.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import Status, canonical_method, scipy_message
+from .core.driver import DriverConfig, make_driver, run_args
+from .core.events import EventSpec
+from .methods import get_engine
+
+_TOL = 1e-12  # endpoint matching tolerance (reference solout.rs:33)
+
+
+# =============================================================================
+# Result containers
+# =============================================================================
+
+class OdeResult(dict):
+    """SciPy-style bunch: attribute and item access.
+
+    Fields: t, y, sol, t_events, y_events, nfev, njev, nlu, nstep, naccpt,
+    nrejct, status, message, success (reference src/python/result.rs:14-98).
+    """
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def __repr__(self):
+        keys = ", ".join(sorted(self.keys()))
+        return f"OdeResult({keys})"
+
+
+class OdeSolution:
+    """Continuous solution: piecewise per-step interpolants, callable like
+    SciPy's OdeSolution (extrapolates beyond the covered span; reference
+    src/python/solution.rs:76-139, src/solve/cont.rs:93-153)."""
+
+    def __init__(self, method: str, interp: Callable, xolds, hs, conts, t0, y0):
+        self.method = method
+        self._interp = interp
+        self._xolds = np.asarray(xolds)
+        self._hs = np.asarray(hs)
+        self._conts = np.asarray(conts)
+        self._t0 = float(t0)
+        self._y0 = np.asarray(y0)
+        self.n_segments = self._xolds.shape[0]
+        if self.n_segments:
+            t_start = self._xolds[0]
+            t_end = self._xolds[-1] + self._hs[-1]
+            self.t_min = float(min(t_start, t_end))
+            self.t_max = float(max(t_start, t_end))
+            self._forward = (t_end - t_start) >= 0
+            # Segment right edges in integration order for searchsorted.
+            self._edges = self._xolds + self._hs
+        else:
+            self.t_min = self.t_max = self._t0
+            self._forward = True
+            self._edges = np.zeros((0,))
+
+    def _find_segments(self, ts: np.ndarray) -> np.ndarray:
+        if self.n_segments == 0:
+            return np.zeros(ts.shape, np.int64)
+        if self._forward:
+            idx = np.searchsorted(self._edges, ts, side="left")
+        else:
+            idx = np.searchsorted(-self._edges, -ts, side="left")
+        return np.clip(idx, 0, self.n_segments - 1)
+
+    def __call__(self, t):
+        t_arr = np.asarray(t, dtype=float)
+        scalar = t_arr.ndim == 0
+        ts = np.atleast_1d(t_arr)
+        if self.n_segments == 0:
+            out = np.broadcast_to(self._y0[:, None], (self._y0.shape[0], ts.shape[0]))
+            return out[:, 0] if scalar else np.array(out)
+        idx = self._find_segments(ts)
+        conts = jnp.asarray(self._conts[idx])
+        xolds = jnp.asarray(self._xolds[idx])
+        hs = jnp.asarray(self._hs[idx])
+        ys = jax.vmap(self._interp)(conts, xolds, hs, jnp.asarray(ts))  # (m, n)
+        ys = np.asarray(ys).T  # (n, m)
+        return ys[:, 0] if scalar else ys
+
+
+# =============================================================================
+# Compiled-solver cache
+# =============================================================================
+
+_SOLVER_CACHE: dict = {}
+
+
+def _hashable(obj):
+    try:
+        hash(obj)
+        return obj
+    except TypeError:
+        return id(obj)
+
+
+def _get_compiled(key, builder):
+    entry = _SOLVER_CACHE.get(key)
+    if entry is None:
+        entry = builder()
+        _SOLVER_CACHE[key] = entry
+    return entry
+
+
+# =============================================================================
+# solve_ivp
+# =============================================================================
+
+def solve_ivp(
+    fun: Callable,
+    t_span,
+    y0,
+    method: str = "RK45",
+    t_eval=None,
+    dense_output: bool = False,
+    events=None,
+    vectorized: bool = False,  # accepted for SciPy parity; traced RHS makes it moot
+    args=None,
+    *,
+    rtol=1e-3,
+    atol=1e-6,
+    jac=None,
+    jac_sparsity=None,
+    max_step: float = math.inf,
+    min_step: float = 0.0,
+    first_step: Optional[float] = None,
+    max_steps: Optional[int] = None,
+    mass=None,
+    nind1: Optional[int] = None,
+    nind2: Optional[int] = None,
+    nind3: Optional[int] = None,
+    dtype=None,
+    chunk_steps: int = 4096,
+    event_capacity: int = 512,
+) -> OdeResult:
+    """Solve an initial value problem y' = f(t, y) with a TPU-compiled loop.
+
+    SciPy-compatible signature (reference src/python/solve.rs:150-167).
+    ``fun``, ``events`` and ``jac`` must be JAX-traceable.
+    """
+    del vectorized  # the RHS is traced; vectorization is inherent
+    dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+
+    t0, tf = (float(t_span[0]), float(t_span[1]))
+    y0_arr = jnp.atleast_1d(jnp.asarray(y0, dtype))
+    n = int(y0_arr.shape[0])
+    method = canonical_method(method)
+
+    if args is None:
+        args = ()
+    else:
+        args = tuple(args)
+
+    # -- event normalization (scipy attribute convention) --
+    if events is not None and callable(events):
+        events = [events]
+    ev_list = list(events) if events is not None else []
+    n_events = len(ev_list)
+    directions = []
+    terminal_counts = []
+    for e in ev_list:
+        d = getattr(e, "direction", 0) or 0
+        directions.append(int(np.sign(d)))
+        term = getattr(e, "terminal", False)
+        if term is True:
+            terminal_counts.append(1)
+        elif term:
+            terminal_counts.append(int(term))
+        else:
+            terminal_counts.append(0)
+    directions = tuple(directions)
+    terminal_counts = tuple(terminal_counts)
+
+    # -- t_eval validation (scipy semantics) --
+    t_eval_arr = None
+    if t_eval is not None:
+        t_eval_arr = np.atleast_1d(np.asarray(t_eval, dtype=float))
+        lo, hi = min(t0, tf), max(t0, tf)
+        if t_eval_arr.size and (t_eval_arr.min() < lo - _TOL or t_eval_arr.max() > hi + _TOL):
+            raise ValueError("Values in `t_eval` are not within `t_span`.")
+
+    # -- fast paths: zero interval / empty system (reference
+    #    solve_ivp.rs:109-176) --
+    if abs(tf - t0) < 1e-15:
+        return _zero_interval_result(method, t0, y0_arr, t_eval_arr,
+                                     dense_output, n_events, events is not None)
+    if n == 0:
+        return _empty_system_result(method, t0, tf, t_eval_arr, dense_output,
+                                    n_events, events is not None)
+
+    # -- wrap user callables into traced closures --
+    def rhs(t, y):
+        return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
+
+    if n_events:
+        def events_fn(t, y):
+            return jnp.stack(
+                [jnp.asarray(e(t, y, *args), dtype).reshape(()) for e in ev_list]
+            )
+    else:
+        events_fn = None
+
+    jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, args)
+
+    need_cont = bool(dense_output or t_eval_arr is not None or n_events
+                     or first_step is not None)
+
+    # -- build / fetch the compiled driver --
+    ev_spec = (EventSpec(n_events, directions, terminal_counts, event_capacity)
+               if n_events else None)
+    key = (
+        "solve", method, n, str(dtype), need_cont, chunk_steps, ev_spec,
+        _hashable(fun), _hashable(jac), tuple(_hashable(a) for a in args),
+        tuple(_hashable(e) for e in ev_list),
+        first_step is not None, bool(mass is not None),
+        nind1, nind2, nind3,
+    )
+
+    def builder():
+        engine, p = get_engine(
+            method, need_cont=need_cont, jac_fn=jac_fn, const_jac=const_jac,
+            mass=mass, nind=(nind1, nind2, nind3), n=n,
+        )
+        cfg = DriverConfig(rec_cap=chunk_steps, record_cont=need_cont,
+                           ncoeff=engine.ncoeff, event_spec=ev_spec)
+        init_carry, run_chunk, reset = make_driver(engine, p, cfg, rhs, events_fn)
+        return (
+            engine,
+            jax.jit(init_carry),
+            jax.jit(run_chunk),
+            jax.jit(reset),
+        )
+
+    engine, init_carry, run_chunk, reset = _get_compiled(key, builder)
+
+    # -- run (chunked host loop: unbounded steps, bounded device buffers) --
+    hmax = abs(tf - t0) if not np.isfinite(max_step) else float(max_step)
+    nmax = int(max_steps) if max_steps is not None else 2**31 - 2
+    ra = run_args(tf, _broadcast_tol(rtol, n, dtype), _broadcast_tol(atol, n, dtype),
+                  hmax, min_step, nmax, dtype)
+
+    fs = first_step
+    if method == "RK4" and fs is None:
+        fs = abs(tf - t0) / 100.0  # reference solve_ivp.rs:185
+    fs_tr = jnp.asarray(abs(fs), dtype) if fs is not None else None
+
+    carry = init_carry(jnp.asarray(t0, dtype), y0_arr, fs_tr, ra)
+
+    seg_t, seg_y, seg_xold, seg_h, seg_cont = [], [], [], [], []
+    while True:
+        carry = run_chunk(carry, ra)
+        k = int(carry.n_rec)
+        if k:
+            seg_t.append(np.asarray(carry.rec_t)[:k])
+            seg_y.append(np.asarray(carry.rec_y)[:k])
+            seg_xold.append(np.asarray(carry.rec_xold)[:k])
+            seg_h.append(np.asarray(carry.rec_h)[:k])
+            if need_cont:
+                seg_cont.append(np.asarray(carry.rec_cont)[:k])
+        if bool(carry.done):
+            break
+        carry = reset(carry)
+
+    rec_t = np.concatenate(seg_t) if seg_t else np.zeros((0,))
+    rec_y = np.concatenate(seg_y) if seg_y else np.zeros((0, n))
+    rec_xold = np.concatenate(seg_xold) if seg_xold else np.zeros((0,))
+    rec_h = np.concatenate(seg_h) if seg_h else np.zeros((0,))
+    rec_cont = (np.concatenate(seg_cont) if seg_cont
+                else np.zeros((0, engine.ncoeff, n)))
+
+    status = int(carry.status)
+    terminated = status == Status.USER_INTERRUPT
+
+    # -- assemble outputs --
+    posneg = 1.0 if tf >= t0 else -1.0
+    y0_np = np.asarray(y0_arr)
+
+    def interp_at(ts: np.ndarray) -> np.ndarray:
+        """Vectorized dense evaluation of many times against the records."""
+        if ts.size == 0:
+            return np.zeros((0, n))
+        edges = rec_xold + rec_h
+        if posneg > 0:
+            idx = np.searchsorted(edges, ts - _TOL, side="left")
+        else:
+            idx = np.searchsorted(-edges, -(ts + _TOL), side="left")
+        idx = np.clip(idx, 0, len(edges) - 1)
+        out = jax.vmap(engine.interp)(
+            jnp.asarray(rec_cont[idx]), jnp.asarray(rec_xold[idx]),
+            jnp.asarray(rec_h[idx]), jnp.asarray(ts))
+        return np.asarray(out)
+
+    if t_eval_arr is not None:
+        # Emission window (reference solout.rs:344-386): points inside completed
+        # steps; on terminal interruption the terminal step's points are not
+        # emitted, but the event point itself is appended (solout.rs:314-325).
+        if terminated and len(rec_t):
+            t_limit = rec_xold[-1]
+        else:
+            t_limit = carry_t_reached(rec_t, t0)
+        sel = ((t_eval_arr - t0) * posneg >= -_TOL) & \
+              ((t_eval_arr - t_limit) * posneg <= _TOL)
+        ts = t_eval_arr[sel]
+        ys = np.zeros((ts.size, n))
+        at_t0 = np.abs(ts - t0) <= _TOL
+        if np.any(~at_t0):
+            ys[~at_t0] = interp_at(ts[~at_t0])
+        ys[at_t0] = y0_np
+        t_out = list(ts)
+        y_out = list(ys)
+        if terminated and len(rec_t):
+            t_out.append(rec_t[-1])
+            y_out.append(rec_y[-1])
+    else:
+        t_out = [t0] + list(rec_t)
+        y_out = [y0_np] + list(rec_y)
+        if first_step is not None and method != "RK4" and len(rec_t):
+            t_out, y_out = _enforce_first_step(
+                t_out, y_out, rec_t, rec_y, t0, posneg, float(first_step),
+                interp_at)
+        # Dedup identical consecutive endpoints (reference solout.rs:424-427).
+        t_out, y_out = _dedup(t_out, y_out)
+
+    t_arr = np.asarray(t_out, dtype=float)
+    y_arr = (np.stack(y_out, axis=1) if len(y_out)
+             else np.zeros((n, 0)))  # (n, n_points) like SciPy
+
+    # -- events output --
+    if events is None:
+        t_events = None
+        y_events = None
+    else:
+        t_events = []
+        y_events = []
+        counts = np.asarray(carry.ev.n_rec) if n_events else np.zeros((0,), int)
+        tb = np.asarray(carry.ev.t_buf) if n_events else None
+        yb = np.asarray(carry.ev.y_buf) if n_events else None
+        for i in range(n_events):
+            c = int(counts[i])
+            t_events.append(np.array(tb[i, :c]))
+            y_events.append(np.array(yb[i, :c]))
+
+    # -- dense output --
+    sol = None
+    if dense_output:
+        sol = OdeSolution(method, engine.interp, rec_xold, rec_h, rec_cont,
+                          t0, y0_np)
+
+    scipy_status = Status.to_scipy(status)
+    return OdeResult(
+        t=t_arr, y=y_arr, sol=sol,
+        t_events=t_events, y_events=y_events,
+        nfev=int(carry.nfev), njev=int(carry.njev), nlu=int(carry.nlu),
+        nstep=int(carry.nstep), naccpt=int(carry.naccpt), nrejct=int(carry.nrejct),
+        status=scipy_status, message=scipy_message(status),
+        success=scipy_status >= 0,
+    )
+
+
+# =============================================================================
+# Helpers
+# =============================================================================
+
+def carry_t_reached(rec_t, t0):
+    return rec_t[-1] if len(rec_t) else t0
+
+
+def _broadcast_tol(tol, n, dtype):
+    arr = jnp.asarray(tol, dtype).reshape(-1)
+    if arr.shape[0] == 1:
+        arr = jnp.broadcast_to(arr, (n,))
+    elif arr.shape[0] != n:
+        raise ValueError(f"tolerance vector length {arr.shape[0]} != n={n}")
+    return arr
+
+
+def _normalize_jac(jac, rhs, n, dtype, args):
+    """Return (jac_fn(t, y) -> (n,n), const_jac flag).
+
+    Callable jac is traced; a constant matrix is closed over; None falls back
+    to jax.jacfwd of the RHS (replacing the reference's hand-rolled forward
+    differences, reference src/ivp.rs:67-107).
+    """
+    if jac is None:
+        def jac_fn(t, y):
+            return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+        return jac_fn, False
+    if callable(jac):
+        def jac_fn(t, y):
+            j = jac(t, y, *args)
+            if hasattr(j, "toarray"):
+                j = j.toarray()
+            return jnp.asarray(j, dtype).reshape(n, n)
+        return jac_fn, False
+    # constant matrix (possibly scipy-sparse)
+    j = jac.toarray() if hasattr(jac, "toarray") else jac
+    j_const = jnp.asarray(np.asarray(j, dtype=float), dtype).reshape(n, n)
+
+    def jac_fn(t, y):
+        return j_const
+
+    return jac_fn, True
+
+
+def _dedup(t_out, y_out):
+    td, yd = [], []
+    for t, y in zip(t_out, y_out):
+        if td and abs(td[-1] - t) <= _TOL:
+            continue
+        td.append(t)
+        yd.append(y)
+    return td, yd
+
+
+def _enforce_first_step(t_out, y_out, rec_t, rec_y, t0, posneg, h0, interp_at):
+    """first_step output enforcement (reference solout.rs:392-421): the first
+    reported point after t0 is exactly t0 +/- h0, obtained by interpolation;
+    intermediate accepted steps before the target are suppressed."""
+    target = t0 + posneg * h0
+    j = None
+    for k, t in enumerate(rec_t):
+        if posneg * (t - target) >= -_TOL:
+            j = k
+            break
+    if j is None:
+        return t_out, y_out  # never reached the target; keep raw records
+    new_t = [t0]
+    new_y = [y_out[0]]
+    y_target = interp_at(np.asarray([target]))[0]
+    new_t.append(target)
+    new_y.append(y_target)
+    if abs(rec_t[j] - target) > _TOL:
+        new_t.append(rec_t[j])
+        new_y.append(rec_y[j])
+    new_t.extend(rec_t[j + 1:])
+    new_y.extend(rec_y[j + 1:])
+    return new_t, new_y
+
+
+def _zero_interval_result(method, t0, y0_arr, t_eval_arr, dense_output,
+                          n_events, events_given):
+    y0_np = np.asarray(y0_arr)
+    n = y0_np.shape[0]
+    if t_eval_arr is not None:
+        ts = t_eval_arr[np.abs(t_eval_arr - t0) < _TOL]
+    else:
+        ts = np.asarray([t0])
+    y = np.broadcast_to(y0_np[:, None], (n, ts.size)).copy()
+    sol = None
+    if dense_output:
+        from .methods import get_engine
+        engine, _ = get_engine(method, need_cont=True, n=n)
+        sol = OdeSolution(method, engine.interp, np.zeros((0,)), np.zeros((0,)),
+                          np.zeros((0, engine.ncoeff, n)), t0, y0_np)
+    t_events = [np.zeros((0,)) for _ in range(n_events)] if events_given else None
+    y_events = [np.zeros((0, n)) for _ in range(n_events)] if events_given else None
+    return OdeResult(
+        t=ts, y=y, sol=sol, t_events=t_events, y_events=y_events,
+        nfev=0, njev=0, nlu=0, nstep=0, naccpt=0, nrejct=0,
+        status=0, message=scipy_message(Status.SUCCESS), success=True,
+    )
+
+
+def _empty_system_result(method, t0, tf, t_eval_arr, dense_output,
+                         n_events, events_given):
+    ts = t_eval_arr if t_eval_arr is not None else np.asarray([t0, tf])
+    y = np.zeros((0, ts.size))
+    sol = None
+    if dense_output:
+        from .methods import get_engine
+        engine, _ = get_engine(method, need_cont=True, n=0)
+        sol = OdeSolution(method, engine.interp, np.zeros((0,)), np.zeros((0,)),
+                          np.zeros((0, engine.ncoeff, 0)), t0, np.zeros((0,)))
+    t_events = [np.zeros((0,)) for _ in range(n_events)] if events_given else None
+    y_events = [np.zeros((0, 0)) for _ in range(n_events)] if events_given else None
+    return OdeResult(
+        t=np.asarray(ts, dtype=float), y=y, sol=sol,
+        t_events=t_events, y_events=y_events,
+        nfev=0, njev=0, nlu=0, nstep=0, naccpt=0, nrejct=0,
+        status=0, message=scipy_message(Status.SUCCESS), success=True,
+    )
+
+
+Any  # typing appeasement

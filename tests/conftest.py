@@ -1,0 +1,18 @@
+"""Test configuration: run on CPU with 8 virtual devices and float64.
+
+Multi-chip sharding tests run on the virtual CPU mesh (SURVEY.md §4: the
+single-host stand-in for multi-node testing).  Must set env vars before the
+first jax import.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
