@@ -1,0 +1,503 @@
+"""RADAU — 3-stage Radau IIA order-5 implicit Runge–Kutta engine.
+
+Stiff ODE / index-1/2/3 DAE solver ``M y' = f(t, y)`` with simplified Newton
+iterations, Jacobian/decomposition reuse, the theta convergence-rate
+divergence predictor, and the predictive Gustafsson step controller —
+algorithmic parity with the reference (src/methods/radau.rs:114-843, itself
+Hairer & Wanner's RADAU5), restructured as a branchless masked step-attempt
+function:
+
+* the variable-length Newton iteration is a bounded ``lax.while_loop`` whose
+  exit reason (converged / predicted divergence / theta blow-up / maxiter) is
+  carried as a code instead of Rust's labelled breaks;
+* the per-step real LU of E1=(u1/h)M - J and complex LU of E2=((a+ib)/h)M - J
+  run on XLA's batched LU (split-real form, core/linalg.py) and batch over
+  vmapped ensembles;
+* jac/LU reuse flags (call_jac/call_decomp) are booleans in the carried state
+  so reuse works per-trajectory under vmap (SURVEY.md hard part #1/#2).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .. import tableaus as tab
+from ..types import Status
+from ..core.linalg import lu_factor, lu_factor_complex, lu_solve, lu_solve_complex
+from .base import Engine, RunArgs, StepProposal
+
+
+class RadauState(NamedTuple):
+    h: Any          # signed step size for the next attempt
+    hold: Any       # h of the last accepted step (Newton extrapolation)
+    posneg: Any
+    f0: Any         # (n,) rhs at (t, y)
+    cont: Any       # (4, n) dense coefficients of the previous accepted step
+    scal: Any       # (n,) error scale (persistently mutated for DAE vars)
+    first: Any      # bool
+    reject: Any     # bool
+    last: Any       # bool — next accepted step lands on tend
+    faccon: Any
+    theta: Any
+    hhfac: Any
+    h_acc: Any      # Gustafsson memory
+    err_acc: Any
+    call_jac: Any   # bool
+    call_decomp: Any
+    singular: Any   # int32 consecutive-failure counter
+    jac: Any        # (n, n)
+    lu1: Any        # (n, n) factored E1
+    piv1: Any
+    lu2: Any        # (2n, 2n) factored split-real E2
+    piv2: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class RadauParams:
+    need_cont: bool
+    n: int
+    uround: float = 2.3e-16
+    safety: float = 0.9
+    scale_min: float = 0.2
+    scale_max: float = 8.0
+    newton_maxiter: int = 7
+    predictive: bool = True
+    thet: float = 0.001
+    quot1: float = 1.0
+    quot2: float = 1.2
+    nind: Tuple[Optional[int], Optional[int], Optional[int]] = (None, None, None)
+    has_mass: bool = False
+    const_jac: bool = False
+
+
+# Newton-loop exit codes.
+_CONTINUE, _CONVERGED, _DIVERGED, _BAD_THETA, _MAXITER = 0, 1, 2, 3, 4
+
+
+def _i32(v):
+    return jnp.asarray(v, jnp.int32)
+
+
+def _transform_tols(ra: RunArgs):
+    """rtol <- 0.1 rtol^(2/3), atol scaled to keep the ratio
+    (reference radau.rs:188-196)."""
+    quot = ra.atol / ra.rtol
+    rtol_t = 0.1 * ra.rtol ** (2.0 / 3.0)
+    return rtol_t, rtol_t * quot
+
+
+def _dae_partition(p: RadauParams, n: int):
+    n1, n2, n3 = p.nind
+    if n1 is None and n2 is None and n3 is None:
+        return n, 0, 0
+    n2 = n2 or 0
+    n3 = n3 or 0
+    if n1 is None:
+        n1 = n - n2 - n3
+    if n1 + n2 + n3 != n or min(n1, n2, n3) < 0:
+        raise ValueError(f"invalid DAE partition ({n1},{n2},{n3}) for n={n}")
+    return n1, n2, n3
+
+
+def make_radau_init(jac_fn, mass_mat, p: RadauParams):
+    n = p.n
+
+    def init(rhs, t0, y0, first_step, ra: RunArgs, p_):
+        dtype = y0.dtype
+        posneg = jnp.sign(ra.tend - t0)
+        if first_step is not None:
+            h = jnp.abs(first_step) * posneg
+        else:
+            h = 1.0e-6 * posneg  # reference radau.rs:250-255
+        h = jnp.clip(h, -ra.hmax, ra.hmax)
+        f0 = rhs(t0, y0)
+        rtol_t, atol_t = _transform_tols(ra)
+        scal = atol_t + rtol_t * jnp.abs(y0)
+        zero = jnp.zeros((), dtype)
+        ms = RadauState(
+            h=h, hold=h, posneg=posneg, f0=f0,
+            cont=jnp.zeros((4, n), dtype), scal=scal,
+            first=jnp.ones((), bool), reject=jnp.zeros((), bool),
+            last=jnp.zeros((), bool),
+            faccon=jnp.ones((), dtype), theta=jnp.full((), p.thet, dtype),
+            hhfac=h, h_acc=zero, err_acc=zero,
+            call_jac=jnp.ones((), bool), call_decomp=jnp.ones((), bool),
+            singular=_i32(0),
+            jac=jnp.zeros((n, n), dtype),
+            lu1=jnp.zeros((n, n), dtype), piv1=jnp.zeros((n,), jnp.int32),
+            lu2=jnp.zeros((2 * n, 2 * n), dtype), piv2=jnp.zeros((2 * n,), jnp.int32),
+        )
+        return ms, 1
+
+    return init
+
+
+def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
+    n = p.n
+    n1, n2, n3 = _dae_partition(p, n)
+    T = tab.RADAU_T
+    TI = tab.RADAU_TI
+    C1, C2 = tab.RADAU_C1, tab.RADAU_C2
+    C1M1, C2M1, C1MC2 = tab.RADAU_C1M1, tab.RADAU_C2M1, tab.RADAU_C1MC2
+    DD = tab.RADAU_DD
+    U1, ALPH, BETA = tab.RADAU_U1, tab.RADAU_ALPH, tab.RADAU_BETA
+    facl = 1.0 / p.scale_min
+    facr = 1.0 / p.scale_max
+    cfac = p.safety * (1.0 + 2.0 * p.newton_maxiter)
+
+    if p.has_mass:
+        M = jnp.asarray(mass_mat)
+
+        def mdot(v):
+            return M @ v
+    else:
+        def mdot(v):
+            return v
+
+    def build_matrices(h, jac):
+        fac1 = U1 / h
+        alphn = ALPH / h
+        betan = BETA / h
+        if p.has_mass:
+            e1 = fac1 * M - jac
+            e2r = alphn * M - jac
+            e2i = betan * M
+        else:
+            eye = jnp.eye(n, dtype=jac.dtype)
+            e1 = fac1 * eye - jac
+            e2r = alphn * eye - jac
+            e2i = betan * eye
+        return e1, e2r, e2i
+
+    def attempt(rhs, t, y, naccpt, ms: RadauState, ra: RunArgs, p_):
+        dtype = y.dtype
+        rtol_t, atol_t = _transform_tols(ra)
+        tolst = rtol_t[0]
+        newton_tol = jnp.maximum(10.0 * p.uround / tolst,
+                                 jnp.minimum(0.03, jnp.sqrt(tolst)))
+
+        h = ms.h
+        posneg = ms.posneg
+        nfev = _i32(0)
+
+        # ---- Jacobian (reused while theta stays small; radau.rs:368-371) ----
+        jac = lax.cond(ms.call_jac, lambda: jac_fn(t, y), lambda: ms.jac)
+        njev = jnp.where(ms.call_jac & (not p.const_jac), 1, 0).astype(jnp.int32)
+
+        # ---- Decompositions (reused when step ratio ~1; radau.rs:374-417) ----
+        def do_decomp():
+            e1, e2r, e2i = build_matrices(h, jac)
+            (lu1, piv1), s1 = lu_factor(e1)
+            (lu2, piv2), s2 = lu_factor_complex(e2r, e2i)
+            return lu1, piv1, lu2, piv2, s1 | s2
+
+        def keep_decomp():
+            return ms.lu1, ms.piv1, ms.lu2, ms.piv2, jnp.zeros((), bool)
+
+        lu1, piv1, lu2, piv2, sing = lax.cond(ms.call_decomp, do_decomp, keep_decomp)
+        nlu = jnp.where(ms.call_decomp, 2, 0).astype(jnp.int32)
+        lu1_piv = (lu1, piv1)
+        lu2_piv = (lu2, piv2)
+
+        # ---- Step guards (radau.rs:423-431) ----
+        too_small = 0.1 * jnp.abs(h) <= jnp.abs(t) * p.uround
+
+        # ---- DAE scaling of algebraic components (radau.rs:434-444) ----
+        # (skipped on singular-decomposition retries, which in the reference
+        # restart before this point)
+        scal = ms.scal
+        if n2 > 0:
+            scal = scal.at[n1:n1 + n2].set(
+                jnp.where(sing, scal[n1:n1 + n2], scal[n1:n1 + n2] / ms.hhfac))
+        if n3 > 0:
+            scal = scal.at[n1 + n2:].set(
+                jnp.where(sing, scal[n1 + n2:], scal[n1 + n2:] / (ms.hhfac ** 2)))
+
+        # ---- Newton starting values (extrapolate previous collocation
+        #      polynomial; radau.rs:447-475) ----
+        c3q = h / ms.hold
+        c1q = C1 * c3q
+        c2q = C2 * c3q
+        ak1, ak2, ak3 = ms.cont[1], ms.cont[2], ms.cont[3]
+
+        def extrap(cq):
+            return cq * (ak1 + (cq - C2M1) * (ak2 + (cq - C1M1) * ak3))
+
+        z1_0 = jnp.where(ms.first, 0.0, extrap(c1q))
+        z2_0 = jnp.where(ms.first, 0.0, extrap(c2q))
+        z3_0 = jnp.where(ms.first, 0.0, extrap(c3q))
+        f1_0 = TI[0, 0] * z1_0 + TI[0, 1] * z2_0 + TI[0, 2] * z3_0
+        f2_0 = TI[1, 0] * z1_0 + TI[1, 1] * z2_0 + TI[1, 2] * z3_0
+        f3_0 = TI[2, 0] * z1_0 + TI[2, 1] * z2_0 + TI[2, 2] * z3_0
+        f1_0 = jnp.where(ms.first, 0.0, f1_0)
+        f2_0 = jnp.where(ms.first, 0.0, f2_0)
+        f3_0 = jnp.where(ms.first, 0.0, f3_0)
+
+        fac1 = U1 / h
+        alphn = ALPH / h
+        betan = BETA / h
+
+        # ---- Simplified Newton iteration (radau.rs:477-618) ----
+        faccon0 = jnp.maximum(ms.faccon, p.uround) ** 0.8
+
+        nst = dict(
+            z1=z1_0, z2=z2_0, z3=z3_0, f1=f1_0, f2=f2_0, f3=f3_0,
+            it=_i32(0), dyno=jnp.zeros((), dtype), dynold=jnp.zeros((), dtype),
+            thqold=jnp.zeros((), dtype), theta=jnp.full((), abs(p.thet), dtype),
+            faccon=faccon0, hhfac=ms.hhfac,
+            # Singular decomposition or step-underflow: skip Newton entirely
+            # (the reference restarts the main loop before the iteration).
+            code=jnp.where(sing | too_small, _MAXITER, _CONTINUE).astype(jnp.int32),
+            nfev=_i32(0),
+        )
+
+        def newton_cond(s):
+            return s["code"] == _CONTINUE
+
+        def newton_body(s):
+            maxed = s["it"] >= p.newton_maxiter
+
+            # Stage RHS evaluations.
+            g1 = rhs(t + C1 * h, y + s["z1"])
+            g2 = rhs(t + C2 * h, y + s["z2"])
+            g3 = rhs(t + h, y + s["z3"])
+
+            # TI-transform.
+            z1 = TI[0, 0] * g1 + TI[0, 1] * g2 + TI[0, 2] * g3
+            z2 = TI[1, 0] * g1 + TI[1, 1] * g2 + TI[1, 2] * g3
+            z3 = TI[2, 0] * g1 + TI[2, 1] * g2 + TI[2, 2] * g3
+
+            # Mass contributions (identity fast path).
+            mf1, mf2, mf3 = mdot(s["f1"]), mdot(s["f2"]), mdot(s["f3"])
+            z1 = z1 - fac1 * mf1
+            z2 = z2 - alphn * mf2 + betan * mf3
+            z3 = z3 - alphn * mf3 - betan * mf2
+
+            # Linear solves against the factored E1 / E2.
+            z1 = lu_solve(lu1_piv, z1)
+            z2, z3 = lu_solve_complex(lu2_piv, z2, z3)
+
+            it = s["it"] + 1
+            dyno = jnp.sqrt(
+                (jnp.sum((z1 / scal) ** 2) + jnp.sum((z2 / scal) ** 2)
+                 + jnp.sum((z3 / scal) ** 2)) / (3.0 * n))
+
+            # Convergence-rate control (radau.rs:561-596).
+            check = (it > 1) & (it < p.newton_maxiter)
+            thq = dyno / jnp.maximum(s["dynold"], 1e-300)
+            theta = jnp.where(it == 2, thq, jnp.sqrt(thq * jnp.maximum(s["thqold"], 1e-300)))
+            theta = jnp.where(check, theta, s["theta"])
+            thqold = jnp.where(check, thq, s["thqold"])
+
+            ok_theta = theta < 0.99
+            faccon = jnp.where(check & ok_theta, theta / (1.0 - theta), s["faccon"])
+            rem = jnp.asarray(p.newton_maxiter - 1, dtype) - it.astype(dtype)
+            dyth = faccon * dyno * theta ** rem / newton_tol
+            diverged = check & ok_theta & (dyth >= 1.0)
+            qnewt = jnp.clip(dyth, 1e-4, 20.0)
+            hhfac_div = 0.8 * qnewt ** (-1.0 / (4.0 + rem))
+            hhfac = jnp.where(diverged, hhfac_div, s["hhfac"])
+            bad_theta = check & ~ok_theta
+
+            dynold = jnp.maximum(dyno, p.uround)
+
+            # Update F and back-transform to Z (radau.rs:599-610).
+            f1 = s["f1"] + z1
+            f2 = s["f2"] + z2
+            f3 = s["f3"] + z3
+            z1n = T[0, 0] * f1 + T[0, 1] * f2 + T[0, 2] * f3
+            z2n = T[1, 0] * f1 + T[1, 1] * f2 + T[1, 2] * f3
+            z3n = T[2, 0] * f1 + f2
+
+            converged = faccon * dyno <= newton_tol
+
+            code = jnp.where(maxed, _MAXITER,
+                             jnp.where(bad_theta, _BAD_THETA,
+                                       jnp.where(diverged, _DIVERGED,
+                                                 jnp.where(converged, _CONVERGED,
+                                                           _CONTINUE)))).astype(jnp.int32)
+            # A maxed-out attempt performs no evaluations this round.
+            ran = ~maxed
+            sel = lambda new, old: jnp.where(ran, new, old)
+            return dict(
+                z1=sel(z1n, s["z1"]), z2=sel(z2n, s["z2"]), z3=sel(z3n, s["z3"]),
+                f1=sel(f1, s["f1"]), f2=sel(f2, s["f2"]), f3=sel(f3, s["f3"]),
+                it=jnp.where(ran, it, s["it"]), dyno=sel(dyno, s["dyno"]),
+                dynold=sel(dynold, s["dynold"]), thqold=sel(thqold, s["thqold"]),
+                theta=sel(theta, s["theta"]), faccon=sel(faccon, s["faccon"]),
+                hhfac=sel(hhfac, s["hhfac"]),
+                code=code, nfev=s["nfev"] + jnp.where(ran, 3, 0).astype(jnp.int32),
+            )
+
+        nres = lax.while_loop(newton_cond, newton_body, nst)
+        nfev = nfev + nres["nfev"]
+        newt = nres["it"].astype(dtype)
+        theta_new = nres["theta"]
+        faccon_new = nres["faccon"]
+        converged = nres["code"] == _CONVERGED
+        z1, z2, z3 = nres["z1"], nres["z2"], nres["z3"]
+
+        # ---- Error estimation (radau.rs:620-667) ----
+        hee = DD / h
+        f1e = hee[0] * z1 + hee[1] * z2 + hee[2] * z3
+        f2e = mdot(f1e)
+        err_vec = lu_solve(lu1_piv, f2e + ms.f0)
+
+        def rms(v):
+            return jnp.maximum(jnp.sqrt(jnp.mean((v / scal) ** 2)), 1e-10)
+
+        err0 = rms(err_vec)
+
+        def refine():
+            fr = rhs(t, err_vec + y)
+            ev2 = lu_solve(lu1_piv, fr + f2e)
+            return rms(ev2), _i32(1)
+
+        do_refine = converged & (err0 >= 1.0) & (ms.first | ms.reject)
+        err, extra_fev = lax.cond(do_refine, refine, lambda: (err0, _i32(0)))
+        nfev = nfev + extra_fev
+
+        # ---- Step-size controller (radau.rs:669-691) ----
+        fac = jnp.minimum(p.safety, cfac / (newt + 2.0 * p.newton_maxiter))
+        quot = jnp.maximum(facr, jnp.minimum(facl, err ** 0.25 / fac))
+        hnew = h / quot
+
+        accepted = converged & (err <= 1.0) & ~sing & ~too_small
+
+        # Predictive Gustafsson controller.
+        if p.predictive:
+            can_pred = accepted & (naccpt + 1 > 1)
+            facgus = (ms.h_acc / h) * (err * err / jnp.maximum(ms.err_acc, 1e-300)) ** 0.25 / p.safety
+            facgus = jnp.maximum(facr, jnp.minimum(facl, facgus))
+            quot = jnp.where(can_pred, jnp.maximum(quot, facgus), quot)
+            hnew = h / quot
+            h_acc = jnp.where(accepted, h, ms.h_acc)
+            err_acc = jnp.where(accepted, jnp.maximum(err, 1e-2), ms.err_acc)
+        else:
+            h_acc, err_acc = ms.h_acc, ms.err_acc
+
+        # ---- Accept path ----
+        y_new = y + z3
+        t_new = jnp.where(ms.last, ra.tend, t + h)
+        ak = (z1 - z2) / C1MC2
+        acont3 = (ak - z1 / C1) / C2
+        c1r = (z2 - z3) / C2M1
+        c2r = (ak - c1r) / C1M1
+        c3r = c2r - acont3
+        if p.need_cont:
+            cont_out = jnp.stack([y_new, c1r, c2r, c3r])
+        else:
+            cont_out = jnp.zeros((0, n), dtype)
+        cont_state = jnp.stack([y_new, c1r, c2r, c3r])
+
+        f0_new = rhs(t_new, y_new)
+        nfev = nfev + jnp.where(accepted, 1, 0).astype(jnp.int32)
+        scal_acc = atol_t + rtol_t * jnp.abs(y_new)
+
+        hnew_acc = jnp.clip(jnp.abs(hnew), ra.hmin, ra.hmax) * posneg
+        hnew_acc = jnp.where(ms.reject,
+                             posneg * jnp.minimum(jnp.abs(hnew_acc), jnp.abs(h)),
+                             hnew_acc)
+        # Land exactly on tend / decomposition reuse (radau.rs:761-776).
+        hit_end = (t_new + hnew_acc / p.quot1 - ra.tend) * posneg >= 0.0
+        qt = hnew_acc / h
+        reuse = (~hit_end) & (theta_new < p.thet) & (qt > p.quot1) & (qt < p.quot2)
+        h_acc_next = jnp.where(hit_end, ra.tend - t_new,
+                               jnp.where(reuse, h, hnew_acc))
+        hhfac_acc = jnp.where(reuse, ms.hhfac, h_acc_next)
+        call_decomp_acc = ~reuse
+        call_jac_acc = (~reuse) & (theta_new >= p.thet)
+
+        # ---- Reject paths ----
+        # err > 1 (radau.rs:777-792)
+        h_rej = jnp.where(ms.first, h * 0.1, hnew)
+        hhfac_rej = jnp.where(ms.first, jnp.full((), 0.1, dtype), hnew / h)
+        # Newton divergence (code DIVERGED): h *= hhfac from the loop.
+        h_div = h * nres["hhfac"]
+        # Newton maxiter / theta blow-up / singular decomposition: halve.
+        h_half = h * 0.5
+
+        diverged = nres["code"] == _DIVERGED
+        broke = (nres["code"] == _MAXITER) | (nres["code"] == _BAD_THETA) | sing
+
+        h_next = jnp.where(accepted, h_acc_next,
+                           jnp.where(diverged, h_div,
+                                     jnp.where(broke, h_half, h_rej)))
+        hhfac_next = jnp.where(accepted, hhfac_acc,
+                               jnp.where(diverged, nres["hhfac"],
+                                         jnp.where(broke, jnp.full((), 0.5, dtype),
+                                                   hhfac_rej)))
+        call_decomp_next = jnp.where(accepted, call_decomp_acc, True)
+        call_jac_next = jnp.where(accepted, call_jac_acc, ms.call_jac)
+
+        singular_next = jnp.where(accepted, _i32(0),
+                                  jnp.where(broke, ms.singular + 1, ms.singular))
+        status = jnp.where(too_small, _i32(Status.STEP_SIZE_TOO_SMALL),
+                           jnp.where(broke & (singular_next > 5),
+                                     _i32(Status.SINGULAR_MATRIX),
+                                     _i32(Status.RUNNING)))
+
+        advance = accepted
+        finished = accepted & ms.last
+
+        ms_new = RadauState(
+            h=h_next, hold=jnp.where(accepted, h, ms.hold), posneg=posneg,
+            f0=jnp.where(accepted, f0_new, ms.f0),
+            cont=jnp.where(accepted, cont_state, ms.cont),
+            scal=jnp.where(accepted, scal_acc, scal),
+            first=ms.first & ~accepted,
+            reject=jnp.where(accepted, False, ms.reject | diverged | (err > 1.0) | broke),
+            last=jnp.where(accepted, hit_end, False),
+            faccon=faccon_new, theta=theta_new,
+            hhfac=hhfac_next, h_acc=h_acc, err_acc=err_acc,
+            call_jac=call_jac_next, call_decomp=call_decomp_next,
+            singular=singular_next,
+            jac=jac, lu1=lu1, piv1=piv1, lu2=lu2, piv2=piv2,
+        )
+
+        count_step = ~sing  # singular decomposition retries are not steps
+        # Rejections counted: error rejections after the first step, and
+        # Newton divergence (radau.rs:578, 788).
+        count_reject = (~accepted) & ~sing & (
+            diverged | (converged & (err > 1.0) & ~ms.first))
+
+        return StepProposal(
+            accepted=accepted, advance=advance, finished=finished,
+            status=status,
+            t_new=jnp.where(advance, t_new, t),
+            y_new=jnp.where(advance, y_new, y),
+            xold=t, h_used=h, cont=cont_out,
+            nfev_inc=nfev, njev_inc=njev, nlu_inc=nlu,
+            count_step=count_step, count_reject=count_reject,
+            ms=ms_new,
+        )
+
+    return attempt
+
+
+def radau_interp(cont, xold, h, ti):
+    """Collocation interpolant in s = (t - (xold+h))/h (radau.rs:798-809)."""
+    s = (ti - (xold + h)) / h
+    return cont[0] + s * (cont[1] + (s - tab.RADAU_C2M1) *
+                          (cont[2] + (s - tab.RADAU_C1M1) * cont[3]))
+
+
+def make_engine(need_cont: bool, *, jac_fn, const_jac=False, mass=None,
+                nind=(None, None, None), n=0, **overrides):
+    if jac_fn is None:
+        raise ValueError("RADAU requires a Jacobian function")
+    mass_mat = None
+    if mass is not None:
+        mass_mat = np.asarray(mass, dtype=float)
+    p = RadauParams(need_cont=need_cont, n=n, nind=tuple(nind),
+                    has_mass=mass_mat is not None, const_jac=const_jac,
+                    **overrides)
+    init = make_radau_init(jac_fn, mass_mat, p)
+    attempt = make_radau_attempt(jac_fn, mass_mat, p)
+    eng = Engine(name="RADAU", ncoeff=4 if need_cont else 0,
+                 init=init, attempt=attempt, interp=radau_interp)
+    return eng, p

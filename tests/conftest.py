@@ -6,7 +6,7 @@ first jax import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset a TPU platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,3 +16,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS;
+# override after import so the test suite runs on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
