@@ -31,14 +31,17 @@ def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data"):
     The batch axis of ``y0_batch`` is split across devices; each device runs an
     independent while-loop over its shard (no collectives inside).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     sharded = shard_map(
         lambda y0, t0, tf, rtol, atol: solver(y0, t0, tf, rtol, atol),
         mesh=mesh,
         in_specs=(P(axis), None, None, None, None),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

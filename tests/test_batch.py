@@ -1,0 +1,82 @@
+"""Ensemble (vmap) and sharded (shard_map) integration tests.
+
+vmap-semantics gate (SURVEY.md §4): a batch of IVPs must match a loop of
+single IVPs bit-for-bit within tolerance, with per-trajectory adaptive steps.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ivp_tpu import solve_ivp, solve_ivp_ensemble, solve_ivp_sharded
+from ivp_tpu.types import Status
+
+
+def vdp(t, y):
+    mu = 1.0
+    return jnp.array([y[1], mu * (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+
+def expdec(t, y):
+    return -y
+
+
+def test_ensemble_matches_single():
+    rng = np.random.default_rng(0)
+    y0s = np.array([2.0, 0.0]) + 0.1 * rng.standard_normal((16, 2))
+    res = solve_ivp_ensemble(vdp, (0.0, 20.0), y0s, method="RK45",
+                             rtol=1e-6, atol=1e-8)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    assert np.allclose(np.asarray(res.t), 20.0)
+    for i in range(0, 16, 5):
+        single = solve_ivp(vdp, (0.0, 20.0), y0s[i], method="RK45",
+                           rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(res.y)[i], single.y[:, -1],
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_ensemble_per_trajectory_steps_differ():
+    y0s = np.stack([[2.0, 0.0], [0.01, 0.0], [4.0, -1.0]])
+    res = solve_ivp_ensemble(vdp, (0.0, 20.0), y0s, method="RK45",
+                             rtol=1e-6, atol=1e-8)
+    steps = np.asarray(res.nstep)
+    assert len(set(steps.tolist())) > 1  # genuinely adaptive per lane
+
+
+@pytest.mark.parametrize("method", ["RK45", "DOP853", "BDF", "Radau"])
+def test_ensemble_methods(method):
+    y0s = np.linspace(0.5, 2.0, 8)[:, None] * np.array([[1.0, 0.0]])
+    res = solve_ivp_ensemble(vdp, (0.0, 5.0), y0s, method=method,
+                             rtol=1e-6, atol=1e-8)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    for i in (0, 7):
+        single = solve_ivp(vdp, (0.0, 5.0), y0s[i], method=method,
+                           rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(res.y)[i], single.y[:, -1],
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_ensemble_8_devices():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    rng = np.random.default_rng(1)
+    B = 64
+    y0s = np.array([2.0, 0.0]) + 0.1 * rng.standard_normal((B, 2))
+    res = solve_ivp_sharded(vdp, (0.0, 10.0), y0s, method="RK45",
+                            rtol=1e-6, atol=1e-8)
+    y = np.asarray(res.y)
+    assert y.shape == (B, 2)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    # must equal the unsharded ensemble exactly
+    ref = solve_ivp_ensemble(vdp, (0.0, 10.0), y0s, method="RK45",
+                             rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(y, np.asarray(ref.y), rtol=0, atol=0)
+
+
+def test_large_ensemble_smoke():
+    B = 2048
+    rng = np.random.default_rng(2)
+    y0s = rng.uniform(0.5, 2.0, (B, 1))
+    res = solve_ivp_ensemble(expdec, (0.0, 5.0), y0s, method="RK45",
+                             rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.y)[:, 0],
+                               y0s[:, 0] * np.exp(-5.0), rtol=1e-5)
