@@ -1,0 +1,99 @@
+"""BASELINE.md correctness-gate configurations.
+
+These are the benchmark configs listed in BASELINE.json: exponential decay,
+CR3BP/Arenstorf at rtol=1e-12 with dense output, stiff Van der Pol (covered in
+test_stiff.py), bouncing ball (covered in test_events.py), and the vmapped
+ensemble (covered in test_batch.py).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ivp_tpu import solve_ivp
+
+MU = 0.012277471  # Earth-Moon mass ratio
+
+
+def cr3bp(t, state, mu):
+    x, y, z, vx, vy, vz = state
+    r1 = jnp.sqrt((x + mu) ** 2 + y ** 2 + z ** 2)
+    r2 = jnp.sqrt((x - 1 + mu) ** 2 + y ** 2 + z ** 2)
+    ax = x + 2 * vy - (1 - mu) * (x + mu) / r1 ** 3 - mu * (x - 1 + mu) / r2 ** 3
+    ay = y - 2 * vx - (1 - mu) * y / r1 ** 3 - mu * y / r2 ** 3
+    az = -(1 - mu) * z / r1 ** 3 - mu * z / r2 ** 3
+    return jnp.array([vx, vy, vz, ax, ay, az])
+
+
+def jacobi_constant(state, mu):
+    x, y, z, vx, vy, vz = state
+    r1 = np.sqrt((x + mu) ** 2 + y ** 2 + z ** 2)
+    r2 = np.sqrt((x - 1 + mu) ** 2 + y ** 2 + z ** 2)
+    U = 0.5 * (x ** 2 + y ** 2) + (1 - mu) / r1 + mu / r2
+    return 2 * U - (vx ** 2 + vy ** 2 + vz ** 2)
+
+
+@pytest.mark.slow
+def test_cr3bp_arenstorf_dop853():
+    """Arenstorf periodic orbit, DOP853 rtol=1e-12 with dense output
+    (reference examples/cr3bp.py; BASELINE.json config #3)."""
+    state0 = np.array([0.994, 0, 0, 0, -2.00158510637908252240537862224, 0])
+    period = 17.0652165601579625588917206249
+
+    sol = solve_ivp(cr3bp, (0, period), state0, method="DOP853",
+                    args=(MU,), rtol=1e-12, atol=1e-14, dense_output=True)
+    assert sol.success, sol.message
+
+    # Periodicity: the orbit returns to its initial state.
+    final = sol.y[:, -1]
+    assert abs(final[0] - state0[0]) < 1e-6
+    assert abs(final[1] - state0[1]) < 1e-6
+
+    # Jacobi constant conservation along the dense output.
+    ts = np.linspace(0, period, 200)
+    traj = sol.sol(ts)
+    C0 = jacobi_constant(state0, MU)
+    Cs = np.array([jacobi_constant(traj[:, i], MU) for i in range(traj.shape[1])])
+    assert np.max(np.abs(Cs - C0)) < 1e-8
+
+
+def test_exponential_decay_gate():
+    """Exponential decay, DOPRI5 rtol=1e-6 atol=1e-9 (BASELINE config #1)."""
+    res = solve_ivp(lambda t, y: -0.5 * y, (0.0, 10.0), [2.0, 4.0, 8.0],
+                    method="RK45", rtol=1e-6, atol=1e-9, dense_output=True)
+    assert res.success
+    expected = np.array([2.0, 4.0, 8.0]) * np.exp(-0.5 * 10.0)
+    np.testing.assert_allclose(res.y[:, -1], expected, rtol=1e-6)
+    mid = res.sol(5.0)
+    np.testing.assert_allclose(mid, np.array([2.0, 4.0, 8.0]) * np.exp(-2.5),
+                               rtol=1e-6)
+
+
+def test_max_steps_cap():
+    """max_steps cap produces a failure status (reference
+    tests/test_step_control.py max_steps tests)."""
+    res = solve_ivp(lambda t, y: -y, (0.0, 100.0), [1.0], method="RK45",
+                    max_steps=3)
+    assert not res.success
+    assert res.status == -1
+
+
+def test_min_step_radau():
+    res = solve_ivp(lambda t, y: -y, (0.0, 1.0), [1.0], method="Radau",
+                    min_step=1e-10)
+    assert res.success
+
+
+def test_mass_matrix_radau():
+    """M y' = f with constant non-identity mass matrix equals the explicitly
+    transformed ODE (reference radau.rs mass support; C2/C15 in SURVEY §2)."""
+    M = np.array([[2.0, 0.0], [0.0, 4.0]])
+
+    def f(t, y):
+        return jnp.array([-y[0], -y[1]])
+
+    res = solve_ivp(f, (0.0, 1.0), [1.0, 1.0], method="Radau", mass=M,
+                    rtol=1e-8, atol=1e-10)
+    assert res.success
+    # Equivalent explicit ODE: y0' = -y0/2, y1' = -y1/4.
+    np.testing.assert_allclose(res.y[:, -1],
+                               [np.exp(-0.5), np.exp(-0.25)], rtol=1e-6)
