@@ -53,6 +53,8 @@ class BDFParams:
     need_cont: bool
     n: int
     const_jac: bool = False
+    newton_maxiter: int = NEWTON_MAXITER
+    newton_tol: float = 0.0  # 0 => derived from tolerances
 
 
 def _i32(v):
@@ -140,8 +142,11 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
     def attempt(rhs, t, y, naccpt, ms: BDFState, ra: RunArgs, p_):
         dtype = y.dtype
         rtol_min = jnp.maximum(jnp.min(ra.rtol), EPS)
-        newton_tol = jnp.maximum(10.0 * EPS / rtol_min,
-                                 jnp.minimum(jnp.sqrt(rtol_min), 0.03))
+        if p.newton_tol > 0.0:
+            newton_tol = jnp.asarray(p.newton_tol, y.dtype)
+        else:
+            newton_tol = jnp.maximum(10.0 * EPS / rtol_min,
+                                     jnp.minimum(jnp.sqrt(rtol_min), 0.03))
 
         posneg = ms.posneg
         order = ms.order
@@ -220,7 +225,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
             return s["done"] == 0
 
         def nbody(s):
-            maxed = s["it"] >= NEWTON_MAXITER
+            maxed = s["it"] >= p.newton_maxiter
             f = rhs(x_new, s["y_new"])
             rhs_v = c * f - psi - s["delta"]
             dy = lu_solve(lu_piv, rhs_v)
@@ -228,7 +233,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
             has_prev = s["prev"] >= 0.0
             rate = dy_norm / jnp.maximum(s["prev"], 1e-300)
-            rem = jnp.asarray(NEWTON_MAXITER, dtype) - s["it"].astype(dtype)
+            rem = jnp.asarray(p.newton_maxiter, dtype) - s["it"].astype(dtype)
             estimate_full = rate ** rem / jnp.maximum(1.0 - rate, 1e-300) * dy_norm
             rate_bad = has_prev & (s["prev"] > 0.0) & (
                 (rate >= 1.0) | (estimate_full > newton_tol))
@@ -268,8 +273,8 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
                            lambda: jac_fn(x_new, y_predict), lambda: ms.jac)
         njev = jnp.where(newton_fail & ~too_small & (not p.const_jac), 1, 0).astype(jnp.int32)
 
-        safety = SAFETY * (2.0 * NEWTON_MAXITER + 1.0) / (
-            2.0 * NEWTON_MAXITER + n_iter + 1.0)
+        safety = SAFETY * (2.0 * p.newton_maxiter + 1.0) / (
+            2.0 * p.newton_maxiter + n_iter + 1.0)
 
         scale2 = ra.atol + ra.rtol * jnp.abs(y_new)
         scale2 = jnp.where(scale2 == 0.0, EPS, scale2)

@@ -65,6 +65,7 @@ class RadauParams:
     scale_min: float = 0.2
     scale_max: float = 8.0
     newton_maxiter: int = 7
+    newton_tol: Optional[float] = None
     predictive: bool = True
     thet: float = 0.001
     quot1: float = 1.0
@@ -176,9 +177,12 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
     def attempt(rhs, t, y, naccpt, ms: RadauState, ra: RunArgs, p_):
         dtype = y.dtype
         rtol_t, atol_t = _transform_tols(ra)
-        tolst = rtol_t[0]
-        newton_tol = jnp.maximum(10.0 * p.uround / tolst,
-                                 jnp.minimum(0.03, jnp.sqrt(tolst)))
+        if p.newton_tol is not None:
+            newton_tol = jnp.asarray(p.newton_tol, y.dtype)
+        else:
+            tolst = rtol_t[0]
+            newton_tol = jnp.maximum(10.0 * p.uround / tolst,
+                                     jnp.minimum(0.03, jnp.sqrt(tolst)))
 
         h = ms.h
         posneg = ms.posneg

@@ -159,6 +159,7 @@ def solve_ivp(
     dtype=None,
     chunk_steps: int = 4096,
     event_capacity: int = 512,
+    solver_options: Optional[dict] = None,
 ) -> OdeResult:
     """Solve an initial value problem y' = f(t, y) with a TPU-compiled loop.
 
@@ -227,7 +228,8 @@ def solve_ivp(
     else:
         events_fn = None
 
-    jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, args)
+    jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, args,
+                                       jac_sparsity=jac_sparsity)
 
     need_cont = bool(dense_output or t_eval_arr is not None or n_events
                      or first_step is not None)
@@ -240,13 +242,15 @@ def solve_ivp(
         _hashable(fun), _hashable(jac), tuple(_hashable(a) for a in args),
         tuple(_hashable(e) for e in ev_list),
         first_step is not None, bool(mass is not None),
-        nind1, nind2, nind3,
+        nind1, nind2, nind3, _hashable(jac_sparsity),
+        tuple(sorted((solver_options or {}).items())),
     )
 
     def builder():
         engine, p = get_engine(
             method, need_cont=need_cont, jac_fn=jac_fn, const_jac=const_jac,
             mass=mass, nind=(nind1, nind2, nind3), n=n,
+            **(solver_options or {}),
         )
         cfg = DriverConfig(rec_cap=chunk_steps, record_cont=need_cont,
                            ncoeff=engine.ncoeff, event_spec=ev_spec)
@@ -401,14 +405,21 @@ def _broadcast_tol(tol, n, dtype):
     return arr
 
 
-def _normalize_jac(jac, rhs, n, dtype, args):
+def _normalize_jac(jac, rhs, n, dtype, args, jac_sparsity=None):
     """Return (jac_fn(t, y) -> (n,n), const_jac flag).
 
     Callable jac is traced; a constant matrix is closed over; None falls back
-    to jax.jacfwd of the RHS (replacing the reference's hand-rolled forward
-    differences, reference src/ivp.rs:67-107).
+    to grouped finite differences when a sparsity pattern is supplied
+    (reference src/python/sparsity.rs) and otherwise to jax.jacfwd of the RHS
+    (replacing the reference's hand-rolled forward differences,
+    reference src/ivp.rs:67-107).
     """
     if jac is None:
+        if jac_sparsity is not None:
+            from .core.sparsity import make_grouped_fd_jac
+            jac_fn, _ = make_grouped_fd_jac(rhs, jac_sparsity, n, dtype)
+            return jac_fn, False
+
         def jac_fn(t, y):
             return jax.jacfwd(lambda yy: rhs(t, yy))(y)
         return jac_fn, False
@@ -475,10 +486,10 @@ def _zero_interval_result(method, t0, y0_arr, t_eval_arr, dense_output,
     y = np.broadcast_to(y0_np[:, None], (n, ts.size)).copy()
     sol = None
     if dense_output:
-        from .methods import get_engine
-        engine, _ = get_engine(method, need_cont=True, n=n)
-        sol = OdeSolution(method, engine.interp, np.zeros((0,)), np.zeros((0,)),
-                          np.zeros((0, engine.ncoeff, n)), t0, y0_np)
+        from .methods.interp import get_interp
+        interp, ncoeff = get_interp(method)
+        sol = OdeSolution(method, interp, np.zeros((0,)), np.zeros((0,)),
+                          np.zeros((0, ncoeff, n)), t0, y0_np)
     t_events = [np.zeros((0,)) for _ in range(n_events)] if events_given else None
     y_events = [np.zeros((0, n)) for _ in range(n_events)] if events_given else None
     return OdeResult(
@@ -494,10 +505,10 @@ def _empty_system_result(method, t0, tf, t_eval_arr, dense_output,
     y = np.zeros((0, ts.size))
     sol = None
     if dense_output:
-        from .methods import get_engine
-        engine, _ = get_engine(method, need_cont=True, n=0)
-        sol = OdeSolution(method, engine.interp, np.zeros((0,)), np.zeros((0,)),
-                          np.zeros((0, engine.ncoeff, 0)), t0, np.zeros((0,)))
+        from .methods.interp import get_interp
+        interp, ncoeff = get_interp(method)
+        sol = OdeSolution(method, interp, np.zeros((0,)), np.zeros((0,)),
+                          np.zeros((0, ncoeff, 0)), t0, np.zeros((0,)))
     t_events = [np.zeros((0,)) for _ in range(n_events)] if events_given else None
     y_events = [np.zeros((0, 0)) for _ in range(n_events)] if events_given else None
     return OdeResult(

@@ -89,15 +89,33 @@ def fun_medazko(t, y):
     return jnp.stack([f_even, f_odd], axis=1).reshape(-1)
 
 
+def medazko_sparsity(n):
+    """Jacobian sparsity pattern (reference tests/test_ivp.py:110-138)."""
+    from scipy.sparse import coo_matrix
+    cols, rows = [], []
+    i = np.arange(n) * 2
+    cols.append(i[1:]); rows.append(i[1:] - 2)
+    cols.append(i); rows.append(i)
+    cols.append(i); rows.append(i + 1)
+    cols.append(i[:-1]); rows.append(i[:-1] + 2)
+    i = np.arange(n) * 2 + 1
+    cols.append(i); rows.append(i)
+    cols.append(i); rows.append(i - 1)
+    cols = np.hstack(cols)
+    rows = np.hstack(rows)
+    return coo_matrix((np.ones_like(cols), (cols, rows)))
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("method", ["BDF", "Radau"])
 def test_integration_sparse_difference(method):
-    """Medakzo n=200 (400 states) — large stiff system
-    (reference tests/test_stiff.py:146-183)."""
+    """Medakzo n=200 (400 states) with grouped-FD sparse Jacobian
+    (reference tests/test_stiff.py:146-183; sparsity: src/python/sparsity.rs)."""
     n = 200
     y0 = np.zeros(2 * n)
     y0[1::2] = 1
-    res = solve_ivp(fun_medazko, [0, 20], y0, method=method)
+    res = solve_ivp(fun_medazko, [0, 20], y0, method=method,
+                    jac_sparsity=medazko_sparsity(n))
     assert_equal(res.t[0], 0)
     assert_(res.success)
     assert_equal(res.status, 0)
