@@ -69,7 +69,7 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
     engine, p = get_engine(method, need_cont=False, jac_fn=jac_fn, n=n)
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0, event_spec=None)
-    init_carry, run_chunk, _ = make_driver(engine, p, cfg, rhs)
+    init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs)
 
     def solve_one(y0, t0, tf, rtol, atol):
         ra = run_args(tf, jnp.broadcast_to(jnp.asarray(rtol, dtype), (n,)),
@@ -90,6 +90,64 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
             y0_batch, t0_b, tf_b, rtol, atol)
 
     return solver
+
+
+def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
+                           jac=None, chunk_steps: int = 1024):
+    """Checkpointable ensemble integration (SURVEY.md §5 checkpoint/resume:
+    the while-loop carry IS the checkpoint).
+
+    Returns (start, resume, extract):
+      start(y0_batch, t0, tf, rtol, atol) -> (carry, ra)
+      resume(carry, ra) -> carry   # advances up to chunk_steps attempts/lane
+      extract(carry) -> EnsembleResult
+
+    ``carry`` is a plain pytree of arrays — save/restore it with any pytree
+    checkpointer (e.g. orbax) and call ``resume`` to continue;
+    ``carry.done`` reports per-trajectory completion.
+    """
+    dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+    method_c = canonical_method(method)
+
+    def rhs(t, y):
+        return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
+
+    jac_fn = None
+    if method_c in ("RADAU", "BDF"):
+        if jac is not None and callable(jac):
+            def jac_fn(t, y):
+                return jnp.asarray(jac(t, y, *args), dtype).reshape(n, n)
+        else:
+            def jac_fn(t, y):
+                return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+
+    engine, p = get_engine(method_c, need_cont=False, jac_fn=jac_fn, n=n)
+    cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0, event_spec=None)
+    init_carry, _, _, run_bounded = make_driver(engine, p, cfg, rhs)
+
+    from .core.driver import run_args as _run_args
+
+    def start(y0_batch, t0, tf, rtol, atol):
+        y0_batch = jnp.asarray(y0_batch, dtype)
+        B = y0_batch.shape[0]
+        ra = _run_args(tf, jnp.broadcast_to(jnp.asarray(rtol, dtype), (n,)),
+                       jnp.broadcast_to(jnp.asarray(atol, dtype), (n,)),
+                       abs(float(tf) - float(t0)), 0.0, 2**31 - 2, dtype)
+        t0_b = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
+        carry = jax.vmap(lambda y0, tt: init_carry(tt, y0, None, ra))(
+            y0_batch, t0_b)
+        return carry, ra
+
+    @jax.jit
+    def resume(carry, ra):
+        return jax.vmap(lambda c: run_bounded(c, ra, chunk_steps))(carry)
+
+    def extract(carry):
+        return EnsembleResult(t=carry.t, y=carry.y, status=carry.status,
+                              nfev=carry.nfev, nstep=carry.nstep,
+                              naccpt=carry.naccpt, nrejct=carry.nrejct)
+
+    return start, resume, extract
 
 
 def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,

@@ -171,7 +171,20 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
         """Host-side drain helper: clear the record cursor between chunks."""
         return c._replace(n_rec=_i32(0))
 
-    return init_carry, run_chunk, reset_records
+    def run_bounded(c: Carry, ra: RunArgs, max_attempts) -> Carry:
+        """Integrate at most ``max_attempts`` step attempts (checkpoint
+        cadence for resumable integration; done lanes are frozen)."""
+        start = c.nstep
+
+        def cond(cc):
+            go = (~cc.done) & (cc.nstep - start < max_attempts)
+            if cap:
+                go = go & (cc.n_rec < cap)
+            return go
+
+        return lax.while_loop(cond, lambda cc: body(cc, ra), c)
+
+    return init_carry, run_chunk, reset_records, run_bounded
 
 
 def run_args(tend, rtol, atol, hmax, hmin, max_steps, dtype) -> RunArgs:

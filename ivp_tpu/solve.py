@@ -254,7 +254,7 @@ def solve_ivp(
         )
         cfg = DriverConfig(rec_cap=chunk_steps, record_cont=need_cont,
                            ncoeff=engine.ncoeff, event_spec=ev_spec)
-        init_carry, run_chunk, reset = make_driver(engine, p, cfg, rhs, events_fn)
+        init_carry, run_chunk, reset, _ = make_driver(engine, p, cfg, rhs, events_fn)
         return (
             engine,
             jax.jit(init_carry),
