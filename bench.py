@@ -2,14 +2,15 @@
 
 Config mirrors the reference harness problem (reference benches/benchmark.py:
 107-115): Van der Pol mu=1 (non-stiff), t in [0, 100], y0 ~ [2, 0], DOPRI5
-(RK45), rtol=1e-6, atol=1e-8 — but integrated as a vmapped ensemble on one
-chip instead of one IVP at a time through a Python-callback boundary.
+(RK45), rtol=1e-6, atol=1e-8 — integrated as a vmapped ensemble on one chip
+instead of one IVP at a time through a Python-callback boundary.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the BASELINE.json north star of 1e5
-independent Van der Pol IVPs/sec/chip.
+The reported value is float64 (reference-parity precision); the float32
+throughput is included in "extra".  vs_baseline is measured against the
+BASELINE.json north star of 1e5 independent Van der Pol IVPs/sec/chip.
 
-Env knobs: IVP_TPU_BENCH_B (batch size), IVP_TPU_BENCH_DTYPE (f64|f32).
+Env knobs: IVP_TPU_BENCH_B (batch size, default 131072).
 """
 import json
 import os
@@ -26,49 +27,58 @@ from ivp_tpu.batch import build_ensemble_solver
 NORTH_STAR = 1.0e5  # IVPs/sec/chip (BASELINE.json)
 
 
-def main():
-    B = int(os.environ.get("IVP_TPU_BENCH_B", 32768))
-    dtype = jnp.float32 if os.environ.get("IVP_TPU_BENCH_DTYPE") == "f32" else jnp.float64
-    t0, tf = 0.0, 100.0
-    rtol, atol = 1e-6, 1e-8
+def vdp(t, y):
+    return jnp.array([y[1], (1.0 - y[0] ** 2) * y[1] - y[0]])
 
-    def vdp(t, y):
-        return jnp.array([y[1], (1.0 - y[0] ** 2) * y[1] - y[0]])
 
-    solver = build_ensemble_solver(vdp, "RK45", n=2, dtype=dtype)
-    run = jax.jit(solver)
-
+def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
+    solver = jax.jit(build_ensemble_solver(vdp, "RK45", n=2, dtype=dtype))
     rng = np.random.default_rng(0)
-    y0 = np.array([2.0, 0.0]) + 0.05 * rng.standard_normal((B, 2))
-    y0 = jnp.asarray(y0, dtype)
+    y0s = [jnp.asarray(np.array([2.0, 0.0])
+                       + 0.05 * rng.standard_normal((B, 2)), dtype)
+           for _ in range(n_runs + 1)]
 
-    # Warmup / compile.
-    res = run(y0, t0, tf, rtol, atol)
-    jax.block_until_ready(res.y)
-    ok = np.mean(np.asarray(res.status) == 0)
+    def sync(res):
+        # force execution with a tiny device->host fetch (block_until_ready
+        # alone is unreliable through the remote-execution tunnel)
+        return int(np.asarray(res.nfev[0]))
 
+    res = solver(y0s[0], t0, tf, rtol, atol)
+    sync(res)  # warmup/compile
     times = []
-    for _ in range(3):
+    for k in range(n_runs):
         start = time.perf_counter()
-        res = run(y0, t0, tf, rtol, atol)
-        jax.block_until_ready(res.y)
+        res = solver(y0s[k + 1], t0, tf, rtol, atol)
+        sync(res)
         times.append(time.perf_counter() - start)
     dt = float(np.median(times))
+    stats = {
+        "wall_s": round(dt, 4),
+        "ivps_per_sec": round(B / dt, 1),
+        "rhs_evals_per_sec": round(int(np.sum(np.asarray(res.nfev))) / dt, 1),
+        "success_fraction": float(np.mean(np.asarray(res.status) == 0)),
+        "mean_nstep": float(np.mean(np.asarray(res.nstep))),
+        "max_nstep": int(np.max(np.asarray(res.nstep))),
+    }
+    return stats
 
-    ivps_per_sec = B / dt
-    nfev_total = int(np.sum(np.asarray(res.nfev)))
+
+def main():
+    B = int(os.environ.get("IVP_TPU_BENCH_B", 131072))
+    f64 = measure(jnp.float64, B)
+    f32 = measure(jnp.float32, B)
+    value = f64["ivps_per_sec"]
     out = {
-        "metric": "vdp_ivps_per_sec_per_chip",
-        "value": round(ivps_per_sec, 2),
+        "metric": "vdp_ivps_per_sec_per_chip_f64",
+        "value": value,
         "unit": "IVPs/s",
-        "vs_baseline": round(ivps_per_sec / NORTH_STAR, 4),
+        "vs_baseline": round(value / NORTH_STAR, 4),
         "extra": {
             "batch": B,
-            "median_wall_s": round(dt, 4),
-            "rhs_evals_per_sec": round(nfev_total / dt, 1),
-            "success_fraction": float(ok),
-            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+            "f64": f64,
+            "f32": f32,
             "device": str(jax.devices()[0]),
+            "config": "VdP mu=1, t=[0,100], DOPRI5, rtol=1e-6, atol=1e-8",
         },
     }
     print(json.dumps(out))
