@@ -19,6 +19,7 @@ import dataclasses
 from typing import Any, NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .. import tableaus as tab
@@ -82,13 +83,16 @@ def change_d(D, order, factor):
     """
     size = MAX_ORDER + 1  # 6
     dtype = D.dtype
-    i = jnp.arange(size, dtype=dtype)[:, None]
-    j = jnp.arange(size, dtype=dtype)[None, :]
+    j = jnp.arange(size, dtype=dtype)
 
     def cum_r(f):
-        m = jnp.where(i == 0, 1.0,
-                      jnp.where(j == 0, 0.0, (i - 1.0 - f * j) / jnp.maximum(i, 1.0)))
-        return jnp.cumprod(m, axis=0)
+        # Unrolled row-cumulative product (static 6 rows): avoids cumprod,
+        # which miscompiles for f64 on some TPU runtimes.
+        rows = [jnp.ones((size,), dtype)]
+        for i in range(1, size):
+            mi = jnp.where(j == 0, 0.0, (i - 1.0 - f * j) / float(i))
+            rows.append(rows[-1] * mi)
+        return jnp.stack(rows)
 
     R = cum_r(factor)
     U = cum_r(jnp.ones((), dtype))
@@ -289,9 +293,12 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         rcol = _rows()[:, None]
         D_acc = jnp.where(rcol == order + 2, delta[None, :] - D[order + 1][None, :], D)
         D_acc = jnp.where(rcol == order + 1, delta[None, :], D_acc)
-        # downward sweep: D[k] <- sum_{j=k}^{order+1} D[j] for k <= order
+        # downward sweep: D[k] <- sum_{j=k}^{order+1} D[j] for k <= order,
+        # as a static upper-triangular matmul (suffix sum without cumsum).
         contrib = jnp.where(rcol <= order + 1, D_acc, 0.0)
-        S = jnp.cumsum(contrib[::-1], axis=0)[::-1]
+        suffix = jnp.asarray(
+            np.triu(np.ones((MAX_ORDER + 3, MAX_ORDER + 3))), dtype)
+        S = suffix @ contrib
         D_acc = jnp.where(rcol <= order, S, D_acc)
 
         # Dense coefficients: [D0, D1..D5 (masked), order] (bdf.rs:505-514).
