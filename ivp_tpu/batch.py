@@ -20,6 +20,7 @@ import numpy as np
 
 from .types import canonical_method
 from .core.driver import DriverConfig, make_driver, run_args
+from .core.events import EventSpec
 from .methods import get_engine
 
 
@@ -31,6 +32,9 @@ class EnsembleResult(NamedTuple):
     nstep: Any    # (B,)
     naccpt: Any   # (B,)
     nrejct: Any   # (B,)
+    t_events: Any = None  # (B, E, cap) event times (valid up to n_events)
+    y_events: Any = None  # (B, E, cap, n)
+    n_events: Any = None  # (B, E) int32 per-event occurrence counts
 
 
 _ENSEMBLE_CACHE: dict = {}
@@ -46,11 +50,17 @@ def _hashable(obj):
 
 def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                           jac=None, max_steps: int = 100_000,
-                          first_step: Optional[float] = None) -> Callable:
+                          first_step: Optional[float] = None,
+                          events=None, event_capacity: int = 16) -> Callable:
     """Return a jittable ``solver(y0_batch, t0, tf, rtol, atol) -> EnsembleResult``.
 
     The returned function is pure (jit/vmap/shard_map composable); y0_batch has
     shape (B, n).  Per-trajectory t0/tf are supported by passing (B,) arrays.
+
+    ``events``: optional list of scipy-style event callables (``terminal`` /
+    ``direction`` attributes); terminal events stop individual trajectories
+    and the per-lane event times/states are returned in fixed-capacity
+    buffers.
     """
     dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
     method = canonical_method(method)
@@ -67,9 +77,26 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
             def jac_fn(t, y):
                 return jax.jacfwd(lambda yy: rhs(t, yy))(y)
 
-    engine, p = get_engine(method, need_cont=False, jac_fn=jac_fn, n=n)
-    cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0, event_spec=None)
-    init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs)
+    ev_list = list(events) if events else []
+    n_ev = len(ev_list)
+    ev_spec = None
+    events_fn = None
+    if n_ev:
+        directions = tuple(int(np.sign(getattr(e, "direction", 0) or 0))
+                           for e in ev_list)
+        terminal_counts = tuple(
+            1 if getattr(e, "terminal", False) is True
+            else int(getattr(e, "terminal", 0) or 0) for e in ev_list)
+        ev_spec = EventSpec(n_ev, directions, terminal_counts, event_capacity)
+
+        def events_fn(t, y):
+            return jnp.stack([jnp.asarray(e(t, y, *args), dtype).reshape(())
+                              for e in ev_list])
+
+    engine, p = get_engine(method, need_cont=bool(n_ev), jac_fn=jac_fn, n=n)
+    cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
+                       event_spec=ev_spec)
+    init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs, events_fn)
 
     def solve_one(y0, t0, tf, rtol, atol):
         ra = run_args(tf, jnp.broadcast_to(jnp.asarray(rtol, dtype), (n,)),
@@ -78,8 +105,13 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         fs = jnp.asarray(first_step, dtype) if first_step is not None else None
         c = init_carry(t0, y0, fs, ra)
         c = run_chunk(c, ra)
+        ev_kw = {}
+        if n_ev:
+            ev_kw = dict(t_events=c.ev.t_buf, y_events=c.ev.y_buf,
+                         n_events=c.ev.n_rec)
         return EnsembleResult(t=c.t, y=c.y, status=c.status, nfev=c.nfev,
-                              nstep=c.nstep, naccpt=c.naccpt, nrejct=c.nrejct)
+                              nstep=c.nstep, naccpt=c.naccpt, nrejct=c.nrejct,
+                              **ev_kw)
 
     def solver(y0_batch, t0, tf, rtol, atol):
         y0_batch = jnp.asarray(y0_batch, dtype)
@@ -152,18 +184,21 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
 def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                        atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
-                       first_step=None, dtype=None) -> EnsembleResult:
+                       first_step=None, dtype=None, events=None,
+                       event_capacity: int = 16) -> EnsembleResult:
     """One-shot batched solve to final state (compiled solver cached)."""
     y0_batch = np.atleast_2d(np.asarray(y0_batch))
     n = y0_batch.shape[1]
     key = ("ensemble", canonical_method(method), n, str(dtype),
            _hashable(fun), tuple(_hashable(a) for a in tuple(args)),
-           _hashable(jac), max_steps, first_step is not None)
+           _hashable(jac), max_steps, first_step is not None,
+           tuple(_hashable(e) for e in (events or [])), event_capacity)
     entry = _ENSEMBLE_CACHE.get(key)
     if entry is None:
         solver = build_ensemble_solver(
             fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
-            max_steps=max_steps, first_step=first_step)
+            max_steps=max_steps, first_step=first_step, events=events,
+            event_capacity=event_capacity)
         entry = jax.jit(solver)
         _ENSEMBLE_CACHE[key] = entry
     t0, tf = float(t_span[0]), float(t_span[1])

@@ -146,8 +146,13 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
                            _i32(Status.NEED_LARGER_NMAX), status)
         done = status != Status.RUNNING
 
+        # On terminal events the trajectory ends at the event point (the
+        # reference reports the event point as the final sample,
+        # solout.rs:314-325).
         return Carry(
-            t=res.t_new, y=res.y_new, ms=res.ms,
+            t=t_rec if has_events else res.t_new,
+            y=y_rec if has_events else res.y_new,
+            ms=res.ms,
             status=status, done=done,
             nfev=nfev, njev=njev, nlu=nlu,
             nstep=nstep, naccpt=naccpt, nrejct=nrejct,

@@ -80,3 +80,30 @@ def test_large_ensemble_smoke():
                              rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(res.y)[:, 0],
                                y0s[:, 0] * np.exp(-5.0), rtol=1e-5)
+
+
+def test_ensemble_with_terminal_events():
+    """Batched bouncing balls: each lane stops at its own ground-hit time."""
+    g = 9.81
+
+    def ball(t, y):
+        return jnp.array([y[1], -g])
+
+    def ground(t, y):
+        return y[0]
+
+    ground.terminal = True
+    ground.direction = -1
+
+    heights = np.linspace(5.0, 20.0, 16)
+    y0 = np.stack([heights, np.zeros(16)], axis=1)
+    res = solve_ivp_ensemble(ball, (0.0, 10.0), y0, method="RK45",
+                             rtol=1e-9, atol=1e-9, events=[ground])
+    assert np.all(np.asarray(res.status) == Status.USER_INTERRUPT)
+    counts = np.asarray(res.n_events)
+    assert counts.shape == (16, 1)
+    assert np.all(counts == 1)
+    t_hits = np.asarray(res.t_events)[:, 0, 0]
+    np.testing.assert_allclose(t_hits, np.sqrt(2 * heights / g), rtol=1e-8)
+    # final state = event point
+    np.testing.assert_allclose(np.asarray(res.t), t_hits, rtol=1e-12)
