@@ -12,6 +12,22 @@ from jax import lax
 UROUND = 2.3e-16  # machine rounding unit used by the controllers (f64)
 
 
+def safe_pow(x, p):
+    """x**p robust to non-finite bases.
+
+    TPU's emulated f64 pow returns NaN for inf**p (IEEE: 0 for p<0, inf for
+    p>0), which poisons branchless step controllers (e.g. the BDF order
+    adaptation takes inf**(-1/order) at the order-1 boundary).  NaN bases stay
+    NaN.
+    """
+    finite = jnp.isfinite(x)
+    r = jnp.where(finite, x, 1.0) ** p
+    inf_val = jnp.where(jnp.asarray(p) > 0, jnp.inf, 0.0)
+    r = jnp.where(jnp.isinf(x) & (x > 0), inf_val, r)
+    r = jnp.where(jnp.isnan(x) | (jnp.isinf(x) & (x < 0)), jnp.nan, r)
+    return r
+
+
 def error_scale(atol, rtol, y):
     """Component scale ``atol + rtol*|y|`` (one fused op on TPU)."""
     return atol + rtol * jnp.abs(y)

@@ -35,6 +35,7 @@ class DriverConfig:
     record_cont: bool = False  # also record dense coefficients
     ncoeff: int = 0
     event_spec: Optional[EventSpec] = None
+    sample_cap: int = 0        # in-loop t_grid emission buffer size (0 = off)
 
 
 class Carry(NamedTuple):
@@ -56,6 +57,8 @@ class Carry(NamedTuple):
     rec_h: Any     # (cap,)
     rec_cont: Any  # (cap, C, n) or (cap, 0, n)
     ev: EvState
+    s_cursor: Any  # int32 — next t_grid sample to emit
+    sample_y: Any  # (sample_cap, n) in-loop interpolated samples
 
 
 def _i32(v):
@@ -90,6 +93,8 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
             rec_h=jnp.zeros((cap,), dtype),
             rec_cont=jnp.zeros((cap, C, n), dtype),
             ev=ev,
+            s_cursor=_i32(0),
+            sample_y=jnp.zeros((cfg.sample_cap, n), dtype),
         )
 
     def body(c: Carry, ra: RunArgs) -> Carry:
@@ -126,6 +131,32 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
             rec_xold, rec_h, rec_cont = c.rec_xold, c.rec_h, c.rec_cont
             n_rec = c.n_rec
 
+        # ---- In-loop t_grid emission (bounded-memory trajectory sampling;
+        #      the in-loop counterpart of reference solout.rs:344-386) ----
+        if cfg.sample_cap:
+            posneg = c.ms.posneg
+
+            def emit_cond(sc):
+                cur, _ = sc
+                tau = jnp.where(cur < cfg.sample_cap,
+                                ra.t_grid[jnp.minimum(cur, cfg.sample_cap - 1)],
+                                ra.tend)
+                in_step = (cur < cfg.sample_cap) & \
+                          ((tau - t_rec) * posneg <= 0.0)
+                return adv & in_step
+
+            def emit_body(sc):
+                cur, buf = sc
+                tau = ra.t_grid[jnp.minimum(cur, cfg.sample_cap - 1)]
+                yi = engine.interp(res.cont, res.xold, res.h_used, tau)
+                buf = buf.at[jnp.minimum(cur, cfg.sample_cap - 1)].set(yi)
+                return cur + 1, buf
+
+            s_cursor, sample_y = lax.while_loop(
+                emit_cond, emit_body, (c.s_cursor, c.sample_y))
+        else:
+            s_cursor, sample_y = c.s_cursor, c.sample_y
+
         # ---- Counters ----
         nstep = c.nstep + res.count_step.astype(jnp.int32)
         naccpt = c.naccpt + res.accepted.astype(jnp.int32)
@@ -159,6 +190,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
             n_rec=n_rec, rec_t=rec_t, rec_y=rec_y,
             rec_xold=rec_xold, rec_h=rec_h, rec_cont=rec_cont,
             ev=ev_new,
+            s_cursor=s_cursor, sample_y=sample_y,
         )
 
     def run_chunk(c: Carry, ra: RunArgs) -> Carry:
@@ -192,7 +224,8 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
     return init_carry, run_chunk, reset_records, run_bounded
 
 
-def run_args(tend, rtol, atol, hmax, hmin, max_steps, dtype) -> RunArgs:
+def run_args(tend, rtol, atol, hmax, hmin, max_steps, dtype,
+             t_grid=None) -> RunArgs:
     rtol = jnp.asarray(rtol, dtype)
     atol = jnp.asarray(atol, dtype)
     return RunArgs(
@@ -201,6 +234,7 @@ def run_args(tend, rtol, atol, hmax, hmin, max_steps, dtype) -> RunArgs:
         hmax=jnp.asarray(abs(hmax), dtype) if not hasattr(hmax, "dtype") else jnp.abs(hmax),
         hmin=jnp.asarray(abs(hmin), dtype) if not hasattr(hmin, "dtype") else jnp.abs(hmin),
         max_steps=_i32(max_steps),
+        t_grid=jnp.asarray(t_grid, dtype) if t_grid is not None else None,
     )
 
 

@@ -1,13 +1,18 @@
 """Linear algebra for the implicit solvers (Radau, BDF).
 
-Uses a pure-JAX partial-pivot LU rather than XLA's LuDecomposition custom op:
-TPU's LuDecomposition only implements f32/c64, while the stiff solvers need
-f64 to reach reference tolerances.  The pure-JAX factorization lowers to
-elementwise/select/fori ops that run in any precision on any backend, batches
-under vmap (each ensemble lane factors its own matrix inside one fused
-program), and for the tiny systems typical of IVPs avoids the custom-call
-overhead entirely — replacing the reference's Fortran-style decompositions
-(reference src/matrix/lu.rs, linear.rs).
+Pure-JAX partial-pivot LU, written **gather/scatter-free**: every
+data-dependent row operation (pivot search, row swap, substitution update) is
+expressed as comparisons + masked reductions + rank-1 updates, so the lowered
+program contains no dynamic-slice/scatter inside the integration loops —
+the safest and fastest form for TPU (and it batches trivially under vmap:
+each ensemble lane factors its own matrix inside one fused program).
+
+Rationale vs alternatives:
+* XLA's LuDecomposition custom op only implements f32/c64 on TPU; the stiff
+  solvers need f64 to reach reference tolerances.
+* The permutation is accumulated as an explicit matrix P (so solving is a
+  matmul), replacing the pivot-index bookkeeping of the reference's
+  Fortran-style decomposition (reference src/matrix/lu.rs, linear.rs).
 
 The complex system (alpha + i*beta)/h * M - J that Radau factors each step
 (reference src/methods/radau.rs:376-417) is solved in an equivalent
@@ -22,67 +27,82 @@ from jax import lax
 
 
 def lu_factor(a):
-    """Partial-pivot LU. Returns ((lu, piv), singular_flag).
+    """Partial-pivot LU. Returns ((lu, P), singular_flag).
 
-    Format matches scipy.linalg.lu_factor: L (unit diagonal) strictly below,
-    U on/above the diagonal, ``piv[k]`` = row swapped with k at step k.
-    The singularity test mirrors the reference's zero-pivot error
-    (reference src/matrix/lu.rs:37-125).
+    ``lu`` holds L (unit diagonal, strictly below) and U (on/above); ``P`` is
+    the permutation matrix with P @ a = L @ U.  The singularity test mirrors
+    the reference's zero-pivot error (reference src/matrix/lu.rs:37-125).
     """
     n = a.shape[-1]
     rows = jnp.arange(n)
+    dtype = a.dtype
 
     def body(k, carry):
-        lu, piv, sing = carry
-        col = jnp.where(rows >= k, jnp.abs(lu[:, k]), -1.0)
-        p = jnp.argmax(col)
-        # swap rows k and p (works when p == k).
-        rowk = lu[k]
-        rowp = lu[p]
-        lu = lu.at[k].set(rowp).at[p].set(rowk)
-        piv = piv.at[k].set(p.astype(jnp.int32))
-        pivval = lu[k, k]
+        lu, P, sing = carry
+        colk = jnp.sum(jnp.where(rows[None, :] == k, lu, 0.0), axis=1)  # lu[:, k]
+        mag = jnp.where(rows >= k, jnp.abs(colk), -1.0)
+        p = jnp.argmax(mag)
+
+        # Row swap k <-> p as a rank-2 masked update (no gathers; exact
+        # no-op when p == k).
+        is_k = (rows == k).astype(dtype)
+        is_p = (rows == p).astype(dtype)
+        rowk = is_k @ lu
+        rowp = is_p @ lu
+
+        def swap(m, rk, rp):
+            return (m - is_k[:, None] * (rk - rp)[None, :]
+                      - is_p[:, None] * (rp - rk)[None, :])
+
+        lu = swap(lu, rowk, rowp)
+        P = swap(P, is_k @ P, is_p @ P)
+
+        colk2 = jnp.sum(jnp.where(rows[None, :] == k, lu, 0.0), axis=1)
+        pivval = jnp.dot(is_k, colk2)
         sing = sing | (pivval == 0.0) | ~jnp.isfinite(pivval)
         denom = jnp.where(pivval == 0.0, 1.0, pivval)
-        factors = jnp.where(rows > k, lu[:, k] / denom, 0.0)
-        upper = jnp.where(rows[None, :] > k, lu[k][None, :], 0.0)
+
+        factors = jnp.where(rows > k, colk2 / denom, 0.0)
+        urow = is_k @ lu  # pivot row after swap
+        upper = jnp.where(rows[None, :] > k, urow[None, :], 0.0)
         lu = lu - factors[:, None] * upper
-        lu = lu.at[:, k].set(jnp.where(rows > k, factors, lu[:, k]))
-        return lu, piv, sing
+        # store multipliers in column k below the diagonal
+        lu = jnp.where((rows[:, None] > k) & (rows[None, :] == k),
+                       factors[:, None], lu)
+        return lu, P, sing
 
     lu0 = jnp.asarray(a)
-    piv0 = jnp.zeros((n,), jnp.int32)
+    P0 = jnp.eye(n, dtype=dtype)
     sing0 = jnp.zeros((), bool)
-    lu, piv, sing = lax.fori_loop(0, n, body, (lu0, piv0, sing0))
-    return (lu, piv), sing
+    lu, P, sing = lax.fori_loop(0, n, body, (lu0, P0, sing0))
+    return (lu, P), sing
 
 
 def lu_solve(lu_piv, b):
-    """Solve A x = b given ``lu_factor`` output (sequential row swaps +
-    masked forward/back substitution; O(n^2) vectorized work)."""
-    lu, piv = lu_piv
+    """Solve A x = b given ``lu_factor`` output (permutation matmul + masked
+    forward/back substitution; O(n^2) vectorized work, no dynamic indexing)."""
+    lu, P = lu_piv
     n = lu.shape[-1]
     rows = jnp.arange(n)
+    dtype = lu.dtype
 
-    def swap(k, x):
-        p = piv[k]
-        xk = x[k]
-        xp = x[p]
-        return x.at[k].set(xp).at[p].set(xk)
-
-    x = lax.fori_loop(0, n, swap, jnp.asarray(b))
+    x = P @ jnp.asarray(b)
 
     def fwd(k, x):
-        lk = jnp.where(rows < k, lu[k], 0.0)
-        return x.at[k].add(-jnp.dot(lk, x))
+        is_k = (rows == k).astype(dtype)
+        lk = jnp.where(rows < k, is_k @ lu, 0.0)
+        return x - is_k * jnp.dot(lk, x)
 
     x = lax.fori_loop(0, n, fwd, x)
 
     def bwd(i, x):
         k = n - 1 - i
-        uk = jnp.where(rows > k, lu[k], 0.0)
-        val = (x[k] - jnp.dot(uk, x)) / lu[k, k]
-        return x.at[k].set(val)
+        is_k = (rows == k).astype(dtype)
+        urow = is_k @ lu
+        uk = jnp.where(rows > k, urow, 0.0)
+        diag = jnp.dot(urow, is_k)
+        val = (jnp.dot(is_k, x) - jnp.dot(uk, x)) / diag
+        return jnp.where(rows == k, val, x)
 
     return lax.fori_loop(0, n, bwd, x)
 

@@ -28,6 +28,7 @@ class RunArgs(NamedTuple):
     hmax: Any  # |max_step|
     hmin: Any  # |min_step|
     max_steps: Any  # int32
+    t_grid: Any = None  # optional (m,) sorted sample times for in-loop emission
 
 
 class StepProposal(NamedTuple):

@@ -24,7 +24,7 @@ from jax import lax
 
 from .. import tableaus as tab
 from ..types import Status
-from ..core.common import hinit
+from ..core.common import hinit, safe_pow
 from ..core.linalg import lu_factor, lu_solve
 from .base import Engine, RunArgs, StepProposal
 
@@ -129,7 +129,7 @@ def make_bdf_init(jac_fn, p: BDFParams):
         D = D.at[1].set(f0 * h_abs * posneg)
         ms = BDFState(
             h_abs=h_abs, posneg=posneg, D=D, order=_i32(1), n_equal=_i32(0),
-            jac=jac, lu=jnp.zeros((n, n), dtype), piv=jnp.zeros((n,), jnp.int32),
+            jac=jac, lu=jnp.zeros((n, n), dtype), piv=jnp.eye(n, dtype=dtype),
             lu_current=jnp.zeros((), bool), current_c=jnp.zeros((), dtype),
         )
         return ms, nfev
@@ -196,7 +196,10 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         gfull = jnp.concatenate([jnp.asarray(gamma, dtype),
                                  jnp.zeros((2,), dtype)])  # pad to MAX_ORDER+3 rows
         psi = jnp.sum(jnp.where(gmask, gfull[:, None] * D, 0.0), axis=0)
-        alpha_ord = jnp.asarray(alpha, dtype)[order]
+        # masked selection instead of dynamic gathers (TPU-safe in loops)
+        k6 = jnp.arange(MAX_ORDER + 1)
+        onehot_ord = (k6 == order).astype(dtype)
+        alpha_ord = jnp.dot(onehot_ord, jnp.asarray(alpha, dtype))
         psi = psi / alpha_ord
 
         c = h_signed / alpha_ord
@@ -283,7 +286,8 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         scale2 = ra.atol + ra.rtol * jnp.abs(y_new)
         scale2 = jnp.where(scale2 == 0.0, EPS, scale2)
         ec = jnp.asarray(error_const, dtype)
-        err_vec = ec[order] * delta
+        ec_ord = jnp.dot(onehot_ord, ec)
+        err_vec = ec_ord * delta
         error_norm = jnp.sqrt(jnp.mean((err_vec / scale2) ** 2))
 
         accepted = converged & (error_norm <= 1.0)
@@ -291,7 +295,8 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
         # ---- Accept: update difference array (bdf.rs:491-503) ----
         rcol = _rows()[:, None]
-        D_acc = jnp.where(rcol == order + 2, delta[None, :] - D[order + 1][None, :], D)
+        row_op1 = ((_rows() == order + 1).astype(dtype)) @ D  # D[order+1]
+        D_acc = jnp.where(rcol == order + 2, delta[None, :] - row_op1[None, :], D)
         D_acc = jnp.where(rcol == order + 1, delta[None, :], D_acc)
         # downward sweep: D[k] <- sum_{j=k}^{order+1} D[j] for k <= order,
         # as a static upper-triangular matmul (suffix sum without cumsum).
@@ -318,17 +323,21 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         finished = accepted & last
         adapt = accepted & (n_equal_acc >= order + 1) & ~finished
 
+        ec_m = jnp.dot((k6 == order - 1).astype(dtype), ec)
+        ec_p = jnp.dot((k6 == order + 1).astype(dtype), ec)
+        row_ord = ((_rows() == order).astype(dtype)) @ D_acc
+        row_op2 = ((_rows() == order + 2).astype(dtype)) @ D_acc
         err_m = jnp.where(
             order > 1,
-            jnp.sqrt(jnp.mean((ec[order - 1] * D_acc[order] / scale2) ** 2)),
+            jnp.sqrt(jnp.mean((ec_m * row_ord / scale2) ** 2)),
             jnp.inf)
         err_p = jnp.where(
             order < MAX_ORDER,
-            jnp.sqrt(jnp.mean((ec[order + 1] * D_acc[order + 2] / scale2) ** 2)),
+            jnp.sqrt(jnp.mean((ec_p * row_op2 / scale2) ** 2)),
             jnp.inf)
         errors = jnp.stack([err_m, error_norm, err_p])
         exponents = -1.0 / (order.astype(dtype) + jnp.arange(3, dtype=dtype))
-        factors = errors ** exponents  # 0**negative -> inf, like SciPy
+        factors = safe_pow(errors, exponents)  # 0**neg -> inf; inf**neg -> 0
         best = jnp.argmax(factors)
         delta_order = jnp.clip(best.astype(jnp.int32) - 1, -1, 1)
         new_order = jnp.clip(order + delta_order, 1, MAX_ORDER)
@@ -346,7 +355,8 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         # ---- Next-step bookkeeping across the outcome cases ----
         fac_fail = jnp.full((), 0.5, dtype)
         fac_rej = jnp.maximum(
-            safety * error_norm ** (-1.0 / (order.astype(dtype) + 1.0)), MIN_FACTOR)
+            safety * safe_pow(error_norm, -1.0 / (order.astype(dtype) + 1.0)),
+            MIN_FACTOR)
 
         D_next = jnp.where(accepted, D_final,
                            jnp.where(newton_fail,
@@ -358,7 +368,10 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         n_equal_next = jnp.where(accepted, jnp.where(adapt, 0, n_equal_acc), 0)
         lu_next = lu_current & ~newton_fail & ~adapt
 
-        status = jnp.where(too_small, _i32(Status.STEP_SIZE_TOO_SMALL),
+        # NaN backstop: a non-finite step size or state means the
+        # integration is irrecoverable; stop instead of looping.
+        dead = ~jnp.isfinite(h_next) | (accepted & ~jnp.all(jnp.isfinite(y_new)))
+        status = jnp.where(too_small | dead, _i32(Status.STEP_SIZE_TOO_SMALL),
                            _i32(Status.RUNNING))
 
         ms_new = BDFState(

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .. import tableaus as tab
 from ..types import Status
-from ..core.common import hinit, scaled_rms
+from ..core.common import hinit, safe_pow, scaled_rms
 from .base import Engine, RunArgs, StepProposal, dotk
 
 
@@ -140,7 +140,7 @@ def dopri5_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
         cont = jnp.zeros((0,) + y.shape, y.dtype)
 
     # --- Controller (Lund-stabilized PI; reference dopri5.rs:351-459) ---
-    fac11 = err ** expo1
+    fac11 = safe_pow(err, expo1)
     fac = fac11 / (ms.facold ** p.beta)
     fac = jnp.maximum(facc2, jnp.minimum(facc1, fac / p.safety))
     hnew_acc = h / fac
@@ -256,7 +256,7 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
         cont = jnp.zeros((0,) + y.shape, y.dtype)
 
     # --- Controller (dop853.rs:431-652) ---
-    fac11 = err ** expo1
+    fac11 = safe_pow(err, expo1)
     fac = fac11 / (ms.facold ** p.beta)
     fac = jnp.maximum(facc2, jnp.minimum(facc1, fac / p.safety))
     hnew_acc = h / fac
@@ -326,10 +326,11 @@ def rk23_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     else:
         cont = jnp.zeros((0,) + y.shape, y.dtype)
 
-    factor = jnp.clip(p.safety * err ** (-1.0 / 3.0), p.scale_min, p.scale_max)
+    err_pow = safe_pow(err, -1.0 / 3.0)
+    factor = jnp.clip(p.safety * err_pow, p.scale_min, p.scale_max)
     h_acc = h * factor
     h_acc = jnp.where(jnp.abs(h_acc) > ra.hmax, ra.hmax * posneg, h_acc)
-    h_rej = h * jnp.clip(p.safety * err ** (-1.0 / 3.0), p.scale_min, 1.0)
+    h_rej = h * jnp.clip(p.safety * err_pow, p.scale_min, 1.0)
     h_next = jnp.where(accepted, h_acc, h_rej)
 
     ms_new = ERKState(

@@ -27,6 +27,7 @@ from jax import lax
 
 from .. import tableaus as tab
 from ..types import Status
+from ..core.common import safe_pow
 from ..core.linalg import lu_factor, lu_factor_complex, lu_solve, lu_solve_complex
 from .base import Engine, RunArgs, StepProposal
 
@@ -129,8 +130,9 @@ def make_radau_init(jac_fn, mass_mat, p: RadauParams):
             call_jac=jnp.ones((), bool), call_decomp=jnp.ones((), bool),
             singular=_i32(0),
             jac=jnp.zeros((n, n), dtype),
-            lu1=jnp.zeros((n, n), dtype), piv1=jnp.zeros((n,), jnp.int32),
-            lu2=jnp.zeros((2 * n, 2 * n), dtype), piv2=jnp.zeros((2 * n,), jnp.int32),
+            lu1=jnp.zeros((n, n), dtype), piv1=jnp.eye(n, dtype=dtype),
+            lu2=jnp.zeros((2 * n, 2 * n), dtype),
+            piv2=jnp.eye(2 * n, dtype=dtype),
         )
         return ms, 1
 
@@ -367,7 +369,7 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
 
         # ---- Step-size controller (radau.rs:669-691) ----
         fac = jnp.minimum(p.safety, cfac / (newt + 2.0 * p.newton_maxiter))
-        quot = jnp.maximum(facr, jnp.minimum(facl, err ** 0.25 / fac))
+        quot = jnp.maximum(facr, jnp.minimum(facl, safe_pow(err, 0.25) / fac))
         hnew = h / quot
 
         accepted = converged & (err <= 1.0) & ~sing & ~too_small
@@ -375,7 +377,8 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         # Predictive Gustafsson controller.
         if p.predictive:
             can_pred = accepted & (naccpt + 1 > 1)
-            facgus = (ms.h_acc / h) * (err * err / jnp.maximum(ms.err_acc, 1e-300)) ** 0.25 / p.safety
+            facgus = (ms.h_acc / h) * safe_pow(
+                err * err / jnp.maximum(ms.err_acc, 1e-300), 0.25) / p.safety
             facgus = jnp.maximum(facr, jnp.minimum(facl, facgus))
             quot = jnp.where(can_pred, jnp.maximum(quot, facgus), quot)
             hnew = h / quot
