@@ -25,6 +25,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+# Unroll factorization/substitution loops at trace time below this size:
+# sequential fori_loops of tiny masked updates dominate wall-clock for the
+# small systems typical of IVP ensembles, and unrolled bodies (with static k)
+# let XLA simplify the masks into slices and fuse across iterations.
+UNROLL_N = 16
+
 
 def lu_factor(a):
     """Partial-pivot LU. Returns ((lu, P), singular_flag).
@@ -74,7 +80,13 @@ def lu_factor(a):
     lu0 = jnp.asarray(a)
     P0 = jnp.eye(n, dtype=dtype)
     sing0 = jnp.zeros((), bool)
-    lu, P, sing = lax.fori_loop(0, n, body, (lu0, P0, sing0))
+    if n <= UNROLL_N:
+        carry = (lu0, P0, sing0)
+        for k in range(n):
+            carry = body(k, carry)
+        lu, P, sing = carry
+    else:
+        lu, P, sing = lax.fori_loop(0, n, body, (lu0, P0, sing0))
     return (lu, P), sing
 
 
@@ -93,8 +105,6 @@ def lu_solve(lu_piv, b):
         lk = jnp.where(rows < k, is_k @ lu, 0.0)
         return x - is_k * jnp.dot(lk, x)
 
-    x = lax.fori_loop(0, n, fwd, x)
-
     def bwd(i, x):
         k = n - 1 - i
         is_k = (rows == k).astype(dtype)
@@ -104,6 +114,13 @@ def lu_solve(lu_piv, b):
         val = (jnp.dot(is_k, x) - jnp.dot(uk, x)) / diag
         return jnp.where(rows == k, val, x)
 
+    if n <= UNROLL_N:
+        for k in range(n):
+            x = fwd(k, x)
+        for i in range(n):
+            x = bwd(i, x)
+        return x
+    x = lax.fori_loop(0, n, fwd, x)
     return lax.fori_loop(0, n, bwd, x)
 
 
