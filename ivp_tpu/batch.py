@@ -125,7 +125,10 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
 
 def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
-                           jac=None, chunk_steps: int = 1024):
+                           jac=None, chunk_steps: int = 1024,
+                           max_steps: int = 100_000, events=None,
+                           event_capacity: int = 16,
+                           first_step: Optional[float] = None):
     """Checkpointable ensemble integration (SURVEY.md §5 checkpoint/resume:
     the while-loop carry IS the checkpoint).
 
@@ -153,9 +156,26 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
             def jac_fn(t, y):
                 return jax.jacfwd(lambda yy: rhs(t, yy))(y)
 
-    engine, p = get_engine(method_c, need_cont=False, jac_fn=jac_fn, n=n)
-    cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0, event_spec=None)
-    init_carry, _, _, run_bounded = make_driver(engine, p, cfg, rhs)
+    ev_list = list(events) if events else []
+    n_ev = len(ev_list)
+    ev_spec = None
+    events_fn = None
+    if n_ev:
+        directions = tuple(int(np.sign(getattr(e, "direction", 0) or 0))
+                           for e in ev_list)
+        terminal_counts = tuple(
+            1 if getattr(e, "terminal", False) is True
+            else int(getattr(e, "terminal", 0) or 0) for e in ev_list)
+        ev_spec = EventSpec(n_ev, directions, terminal_counts, event_capacity)
+
+        def events_fn(t, y):
+            return jnp.stack([jnp.asarray(e(t, y, *args), dtype).reshape(())
+                              for e in ev_list])
+
+    engine, p = get_engine(method_c, need_cont=bool(n_ev), jac_fn=jac_fn, n=n)
+    cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
+                       event_spec=ev_spec)
+    init_carry, _, _, run_bounded = make_driver(engine, p, cfg, rhs, events_fn)
 
     from .core.driver import run_args as _run_args
 
@@ -164,9 +184,10 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         B = y0_batch.shape[0]
         ra = _run_args(tf, jnp.broadcast_to(jnp.asarray(rtol, dtype), (n,)),
                        jnp.broadcast_to(jnp.asarray(atol, dtype), (n,)),
-                       abs(float(tf) - float(t0)), 0.0, 2**31 - 2, dtype)
+                       abs(float(tf) - float(t0)), 0.0, max_steps, dtype)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
-        carry = jax.vmap(lambda y0, tt: init_carry(tt, y0, None, ra))(
+        fs = jnp.asarray(first_step, dtype) if first_step is not None else None
+        carry = jax.vmap(lambda y0, tt: init_carry(tt, y0, fs, ra))(
             y0_batch, t0_b)
         return carry, ra
 
@@ -175,9 +196,14 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         return jax.vmap(lambda c: run_bounded(c, ra, chunk_steps))(carry)
 
     def extract(carry):
+        ev_kw = {}
+        if n_ev:
+            ev_kw = dict(t_events=carry.ev.t_buf, y_events=carry.ev.y_buf,
+                         n_events=carry.ev.n_rec)
         return EnsembleResult(t=carry.t, y=carry.y, status=carry.status,
                               nfev=carry.nfev, nstep=carry.nstep,
-                              naccpt=carry.naccpt, nrejct=carry.nrejct)
+                              naccpt=carry.naccpt, nrejct=carry.nrejct,
+                              **ev_kw)
 
     return start, resume, extract
 
@@ -185,24 +211,33 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
 def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                        atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
                        first_step=None, dtype=None, events=None,
-                       event_capacity: int = 16) -> EnsembleResult:
-    """One-shot batched solve to final state (compiled solver cached)."""
+                       event_capacity: int = 16,
+                       chunk_steps: int = 16384) -> EnsembleResult:
+    """Batched solve to final state, executed as a host loop of bounded device
+    chunks (no single device call runs unboundedly — robust against runtime
+    watchdogs on pathological problems; compiled solver cached)."""
     y0_batch = np.atleast_2d(np.asarray(y0_batch))
     n = y0_batch.shape[1]
     key = ("ensemble", canonical_method(method), n, str(dtype),
            _hashable(fun), tuple(_hashable(a) for a in tuple(args)),
            _hashable(jac), max_steps, first_step is not None,
-           tuple(_hashable(e) for e in (events or [])), event_capacity)
+           tuple(_hashable(e) for e in (events or [])), event_capacity,
+           chunk_steps)
     entry = _ENSEMBLE_CACHE.get(key)
     if entry is None:
-        solver = build_ensemble_solver(
+        entry = build_resumable_solver(
             fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
             max_steps=max_steps, first_step=first_step, events=events,
-            event_capacity=event_capacity)
-        entry = jax.jit(solver)
+            event_capacity=event_capacity, chunk_steps=chunk_steps)
         _ENSEMBLE_CACHE[key] = entry
+    start, resume, extract = entry
     t0, tf = float(t_span[0]), float(t_span[1])
-    return entry(y0_batch, t0, tf, rtol, atol)
+    carry, ra = start(y0_batch, t0, tf, rtol, atol)
+    while True:
+        carry = resume(carry, ra)
+        if bool(np.all(np.asarray(carry.done))):
+            break
+    return extract(carry)
 
 
 math  # referenced

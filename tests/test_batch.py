@@ -66,10 +66,12 @@ def test_sharded_ensemble_8_devices():
     y = np.asarray(res.y)
     assert y.shape == (B, 2)
     assert np.all(np.asarray(res.status) == Status.SUCCESS)
-    # must equal the unsharded ensemble exactly
+    # must match the unsharded ensemble: identical step sequences (counters
+    # exact); values agree to cross-program fp reassociation noise
     ref = solve_ivp_ensemble(vdp, (0.0, 10.0), y0s, method="RK45",
                              rtol=1e-6, atol=1e-8)
-    np.testing.assert_allclose(y, np.asarray(ref.y), rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(res.nstep), np.asarray(ref.nstep))
+    np.testing.assert_allclose(y, np.asarray(ref.y), rtol=1e-12, atol=1e-12)
 
 
 def test_large_ensemble_smoke():
