@@ -35,6 +35,8 @@ class EnsembleResult(NamedTuple):
     t_events: Any = None  # (B, E, cap) event times (valid up to n_events)
     y_events: Any = None  # (B, E, cap, n)
     n_events: Any = None  # (B, E) int32 per-event occurrence counts
+    y_samples: Any = None  # (B, m, n) states at the shared t_eval grid
+    n_samples: Any = None  # (B,) int32 emitted sample counts
 
 
 _ENSEMBLE_CACHE: dict = {}
@@ -128,7 +130,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                            jac=None, chunk_steps: int = 1024,
                            max_steps: int = 100_000, events=None,
                            event_capacity: int = 16,
-                           first_step: Optional[float] = None):
+                           first_step: Optional[float] = None,
+                           t_eval=None):
     """Checkpointable ensemble integration (SURVEY.md §5 checkpoint/resume:
     the while-loop carry IS the checkpoint).
 
@@ -172,9 +175,16 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
             return jnp.stack([jnp.asarray(e(t, y, *args), dtype).reshape(())
                               for e in ev_list])
 
-    engine, p = get_engine(method_c, need_cont=bool(n_ev), jac_fn=jac_fn, n=n)
+    sample_grid = None
+    sample_cap = 0
+    if t_eval is not None:
+        sample_grid = np.atleast_1d(np.asarray(t_eval, dtype=float))
+        sample_cap = int(sample_grid.shape[0])
+
+    engine, p = get_engine(method_c, need_cont=bool(n_ev) or sample_cap > 0,
+                           jac_fn=jac_fn, n=n)
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
-                       event_spec=ev_spec)
+                       event_spec=ev_spec, sample_cap=sample_cap)
     init_carry, _, _, run_bounded = make_driver(engine, p, cfg, rhs, events_fn)
 
     from .core.driver import run_args as _run_args
@@ -182,9 +192,14 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     def start(y0_batch, t0, tf, rtol, atol):
         y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
+        if sample_grid is not None:
+            d = np.sign(float(tf) - float(t0)) or 1.0
+            if np.any(np.diff(sample_grid * d) < 0):
+                raise ValueError("t_eval must be sorted in integration direction")
         ra = _run_args(tf, jnp.broadcast_to(jnp.asarray(rtol, dtype), (n,)),
                        jnp.broadcast_to(jnp.asarray(atol, dtype), (n,)),
-                       abs(float(tf) - float(t0)), 0.0, max_steps, dtype)
+                       abs(float(tf) - float(t0)), 0.0, max_steps, dtype,
+                       t_grid=sample_grid)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
         fs = jnp.asarray(first_step, dtype) if first_step is not None else None
         carry = jax.vmap(lambda y0, tt: init_carry(tt, y0, fs, ra))(
@@ -196,14 +211,16 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         return jax.vmap(lambda c: run_bounded(c, ra, chunk_steps))(carry)
 
     def extract(carry):
-        ev_kw = {}
+        kw = {}
         if n_ev:
-            ev_kw = dict(t_events=carry.ev.t_buf, y_events=carry.ev.y_buf,
-                         n_events=carry.ev.n_rec)
+            kw.update(t_events=carry.ev.t_buf, y_events=carry.ev.y_buf,
+                      n_events=carry.ev.n_rec)
+        if sample_cap:
+            kw.update(y_samples=carry.sample_y, n_samples=carry.s_cursor)
         return EnsembleResult(t=carry.t, y=carry.y, status=carry.status,
                               nfev=carry.nfev, nstep=carry.nstep,
                               naccpt=carry.naccpt, nrejct=carry.nrejct,
-                              **ev_kw)
+                              **kw)
 
     return start, resume, extract
 
@@ -211,7 +228,7 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
 def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                        atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
                        first_step=None, dtype=None, events=None,
-                       event_capacity: int = 16,
+                       event_capacity: int = 16, t_eval=None,
                        chunk_steps: int = 16384) -> EnsembleResult:
     """Batched solve to final state, executed as a host loop of bounded device
     chunks (no single device call runs unboundedly — robust against runtime
@@ -222,13 +239,16 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
            _hashable(fun), tuple(_hashable(a) for a in tuple(args)),
            _hashable(jac), max_steps, first_step is not None,
            tuple(_hashable(e) for e in (events or [])), event_capacity,
-           chunk_steps)
+           chunk_steps,
+           tuple(np.atleast_1d(np.asarray(t_eval, float)).tolist())
+           if t_eval is not None else None)
     entry = _ENSEMBLE_CACHE.get(key)
     if entry is None:
         entry = build_resumable_solver(
             fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
             max_steps=max_steps, first_step=first_step, events=events,
-            event_capacity=event_capacity, chunk_steps=chunk_steps)
+            event_capacity=event_capacity, chunk_steps=chunk_steps,
+            t_eval=t_eval)
         _ENSEMBLE_CACHE[key] = entry
     start, resume, extract = entry
     t0, tf = float(t_span[0]), float(t_span[1])

@@ -109,3 +109,19 @@ def test_ensemble_with_terminal_events():
     np.testing.assert_allclose(t_hits, np.sqrt(2 * heights / g), rtol=1e-8)
     # final state = event point
     np.testing.assert_allclose(np.asarray(res.t), t_hits, rtol=1e-12)
+
+
+def test_ensemble_t_eval_sampling():
+    """In-loop shared t_eval grid sampling: (B, m, n) trajectories."""
+    B = 8
+    rng = np.random.default_rng(5)
+    lam = rng.uniform(0.5, 1.5, (B, 1))
+    grid = np.linspace(0.0, 3.0, 13)
+
+    res = solve_ivp_ensemble(expdec, (0.0, 3.0), lam, method="RK45",
+                             rtol=1e-9, atol=1e-12, t_eval=grid)
+    ys = np.asarray(res.y_samples)
+    assert ys.shape == (B, 13, 1)
+    assert np.all(np.asarray(res.n_samples) == 13)
+    expected = lam[:, 0:1] * np.exp(-grid)[None, :]
+    np.testing.assert_allclose(ys[:, :, 0], expected, rtol=1e-7)
