@@ -63,10 +63,21 @@ def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
     return stats
 
 
+def _measure_with_retry(dtype, B, attempts=4):
+    """The remote TPU worker occasionally restarts; retry with backoff."""
+    for k in range(attempts):
+        try:
+            return measure(dtype, B)
+        except Exception:
+            if k == attempts - 1:
+                raise
+            time.sleep(90 * (k + 1))
+
+
 def main():
     B = int(os.environ.get("IVP_TPU_BENCH_B", 131072))
-    f64 = measure(jnp.float64, B)
-    f32 = measure(jnp.float32, B)
+    f64 = _measure_with_retry(jnp.float64, B)
+    f32 = _measure_with_retry(jnp.float32, B)
     value = f64["ivps_per_sec"]
     out = {
         "metric": "vdp_ivps_per_sec_per_chip_f64",

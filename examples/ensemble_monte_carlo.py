@@ -1,0 +1,39 @@
+"""Monte Carlo ensemble: 100k Van der Pol oscillators on one chip.
+
+The TPU-native headline workload: a vmapped adaptive DOPRI5 loop integrates
+the whole ensemble in lock-step with per-trajectory step sizes
+(>1e5 IVPs/s in f64, >1e6 in f32 on a v5e chip — see bench.py).
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ivp_tpu import solve_ivp_ensemble
+
+
+def vdp(t, y):
+    return jnp.array([y[1], (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+
+def main():
+    B = 100_000
+    rng = np.random.default_rng(0)
+    y0 = np.array([2.0, 0.0]) + 0.1 * rng.standard_normal((B, 2))
+
+    start = time.perf_counter()
+    res = solve_ivp_ensemble(vdp, (0.0, 100.0), y0, method="RK45",
+                             rtol=1e-6, atol=1e-8)
+    y = np.asarray(res.y)
+    wall = time.perf_counter() - start
+
+    print(f"integrated {B} IVPs in {wall:.2f}s (incl. compile) "
+          f"on {jax.devices()[0]}")
+    print(f"success: {float(np.mean(np.asarray(res.status) == 0)):.3f}")
+    print(f"mean steps/trajectory: {float(np.mean(np.asarray(res.nstep))):.0f}")
+    print(f"final-state spread: y0 in [{y[:, 0].min():.3f}, {y[:, 0].max():.3f}]")
+
+
+if __name__ == "__main__":
+    main()
