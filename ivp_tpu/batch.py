@@ -11,7 +11,6 @@ parameter sweeps and the benchmark metric (IVPs/sec/chip).
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -259,5 +258,3 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
             break
     return extract(carry)
 
-
-math  # referenced

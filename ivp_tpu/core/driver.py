@@ -15,9 +15,8 @@ re-enters, so total steps are unbounded while device memory stays static.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -237,6 +236,3 @@ def run_args(tend, rtol, atol, hmax, hmin, max_steps, dtype,
         t_grid=jnp.asarray(t_grid, dtype) if t_grid is not None else None,
     )
 
-
-jax  # keep import referenced
-Tuple

@@ -26,7 +26,6 @@ src/methods/dopri5.rs:266-460).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

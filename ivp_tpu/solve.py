@@ -518,5 +518,3 @@ def _empty_system_result(method, t0, tf, t_eval_arr, dense_output,
         status=0, message=scipy_message(Status.SUCCESS), success=True,
     )
 
-
-Any  # typing appeasement
