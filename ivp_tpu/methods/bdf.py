@@ -85,24 +85,32 @@ def change_d(D, order, factor):
     dtype = D.dtype
     j = jnp.arange(size, dtype=dtype)
 
-    def cum_r(f):
-        # Unrolled row-cumulative product (static 6 rows): avoids cumprod,
-        # which miscompiles for f64 on some TPU runtimes.
-        rows = [jnp.ones((size,), dtype)]
-        for i in range(1, size):
-            mi = jnp.where(j == 0, 0.0, (i - 1.0 - f * j) / float(i))
-            rows.append(rows[-1] * mi)
-        return jnp.stack(rows)
+    # R(factor): unrolled row-cumulative product (static 6 rows).  Everything
+    # here is elementwise/broadcast arithmetic — tiny batched dot_generals
+    # under vmap measured ~20x slower than the whole rest of the BDF step on
+    # TPU, and cumprod miscompiles for f64 on some TPU runtimes.
+    rows = [jnp.ones((size,), dtype)]
+    for i in range(1, size):
+        mi = jnp.where(j == 0, 0.0, (i - 1.0 - factor * j) / float(i))
+        rows.append(rows[-1] * mi)
+    R = jnp.stack(rows)
 
-    R = cum_r(factor)
-    U = cum_r(jnp.ones((), dtype))
+    # U = R(1) is a compile-time constant.
+    U = np.ones((size, size))
+    for i in range(1, size):
+        mi = np.where(np.arange(size) == 0, 0.0,
+                      (i - 1.0 - np.arange(size)) / float(i))
+        U[i] = U[i - 1] * mi
+    U = jnp.asarray(U, dtype)
+
     k = jnp.arange(size)
     in_blk = (k[:, None] <= order) & (k[None, :] <= order)
     Rm = jnp.where(in_blk, R, 0.0)
     Um = jnp.where(in_blk, U, 0.0)
-    P = Rm @ Um
+    # P = Rm @ Um and D6 = T^T @ D[:6], unrolled as broadcasted outer sums.
+    P = sum(Rm[:, m:m + 1] * Um[m:m + 1, :] for m in range(size))
     T = jnp.where(in_blk, P, jnp.eye(size, dtype=dtype))
-    D6 = T.T @ D[:size]
+    D6 = sum(T[m][:, None] * D[m][None, :] for m in range(size))
     D_new = D.at[:size].set(D6)
     return jnp.where(factor == 1.0, D, D_new)
 
@@ -159,29 +167,30 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         n_equal = ms.n_equal
         lu_current = ms.lu_current
 
-        # ---- h clamping with D rescaling (bdf.rs:287-322) ----
+        # ---- h clamping with D rescaling (bdf.rs:287-322), the three
+        #      rescalings composed into one change_d (rescaling by f1 then f2
+        #      equals rescaling by f1*f2) ----
         over = h_abs > ra.hmax
-        D = jnp.where(over, change_d(D, order, ra.hmax / h_abs), D)
-        n_equal = jnp.where(over, 0, n_equal)
-        lu_current = lu_current & ~over
+        fac_over = jnp.where(over, ra.hmax / h_abs, 1.0)
         h_abs = jnp.minimum(h_abs, ra.hmax)
 
         under = (h_abs < ra.hmin) & (ra.hmin > 0.0)
-        fac_min = jnp.maximum(ra.hmin / jnp.maximum(h_abs, 1e-300), 1.0)
-        D = jnp.where(under, change_d(D, order, fac_min), D)
-        n_equal = jnp.where(under, 0, n_equal)
-        lu_current = lu_current & ~under
+        fac_min = jnp.where(
+            under, jnp.maximum(ra.hmin / jnp.maximum(h_abs, 1e-300), 1.0), 1.0)
         h_abs = jnp.maximum(h_abs, jnp.where(under, ra.hmin, 0.0))
 
         h_signed = posneg * h_abs
         overshoot = posneg * (t + h_signed - ra.tend) > 0.0
         step_to_end = jnp.abs(ra.tend - t)
-        fac_end = step_to_end / jnp.maximum(h_abs, 1e-300)
-        D = jnp.where(overshoot, change_d(D, order, fac_end), D)
-        n_equal = jnp.where(overshoot, 0, n_equal)
-        lu_current = lu_current & ~overshoot
+        fac_end = jnp.where(
+            overshoot, step_to_end / jnp.maximum(h_abs, 1e-300), 1.0)
         h_abs = jnp.where(overshoot, step_to_end, h_abs)
         h_signed = posneg * h_abs
+
+        clamped = over | under | overshoot
+        D = change_d(D, order, fac_over * fac_min * fac_end)
+        n_equal = jnp.where(clamped, 0, n_equal)
+        lu_current = lu_current & ~clamped
         last = overshoot | (posneg * (t + h_signed - ra.tend) >= 0.0)
         x_new = jnp.where(last, ra.tend, t + h_signed)
 
@@ -299,11 +308,12 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         D_acc = jnp.where(rcol == order + 2, delta[None, :] - row_op1[None, :], D)
         D_acc = jnp.where(rcol == order + 1, delta[None, :], D_acc)
         # downward sweep: D[k] <- sum_{j=k}^{order+1} D[j] for k <= order,
-        # as a static upper-triangular matmul (suffix sum without cumsum).
+        # as unrolled suffix sums (static 8 rows; no tiny batched matmul).
         contrib = jnp.where(rcol <= order + 1, D_acc, 0.0)
-        suffix = jnp.asarray(
-            np.triu(np.ones((MAX_ORDER + 3, MAX_ORDER + 3))), dtype)
-        S = suffix @ contrib
+        srows = [contrib[MAX_ORDER + 2]]
+        for kk in range(MAX_ORDER + 1, -1, -1):
+            srows.append(contrib[kk] + srows[-1])
+        S = jnp.stack(srows[::-1])
         D_acc = jnp.where(rcol <= order, S, D_acc)
 
         # Dense coefficients: [D0, D1..D5 (masked), order] (bdf.rs:505-514).
@@ -358,10 +368,9 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
             safety * safe_pow(error_norm, -1.0 / (order.astype(dtype) + 1.0)),
             MIN_FACTOR)
 
-        D_next = jnp.where(accepted, D_final,
-                           jnp.where(newton_fail,
-                                     change_d(D, order, fac_fail),
-                                     change_d(D, order, fac_rej)))
+        fac_down = jnp.where(accepted, 1.0,
+                             jnp.where(newton_fail, fac_fail, fac_rej))
+        D_next = jnp.where(accepted, D_final, change_d(D, order, fac_down))
         h_next = jnp.where(accepted, jnp.where(adapt, h_abs_adapt, h_abs),
                            jnp.where(newton_fail, h_abs * fac_fail,
                                      h_abs * fac_rej))
