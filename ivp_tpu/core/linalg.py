@@ -43,6 +43,12 @@ def lu_factor(a):
     rows = jnp.arange(n)
     dtype = a.dtype
 
+    def _row(m, mask):
+        # masked row extraction: sum_i mask[i]*m[i,:] without a batched
+        # matvec (tiny dot_generals are pathologically slow under vmap on
+        # TPU, see docs/TPU_NOTES.md #13)
+        return jnp.sum(jnp.where(mask[:, None], m, 0.0), axis=0)
+
     def body(k, carry):
         lu, P, sing = carry
         colk = jnp.sum(jnp.where(rows[None, :] == k, lu, 0.0), axis=1)  # lu[:, k]
@@ -51,25 +57,27 @@ def lu_factor(a):
 
         # Row swap k <-> p as a rank-2 masked update (no gathers; exact
         # no-op when p == k).
-        is_k = (rows == k).astype(dtype)
-        is_p = (rows == p).astype(dtype)
-        rowk = is_k @ lu
-        rowp = is_p @ lu
+        is_k = rows == k
+        is_p = rows == p
+        rowk = _row(lu, is_k)
+        rowp = _row(lu, is_p)
+        fk = is_k.astype(dtype)
+        fp = is_p.astype(dtype)
 
         def swap(m, rk, rp):
-            return (m - is_k[:, None] * (rk - rp)[None, :]
-                      - is_p[:, None] * (rp - rk)[None, :])
+            return (m - fk[:, None] * (rk - rp)[None, :]
+                      - fp[:, None] * (rp - rk)[None, :])
 
         lu = swap(lu, rowk, rowp)
-        P = swap(P, is_k @ P, is_p @ P)
+        P = swap(P, _row(P, is_k), _row(P, is_p))
 
         colk2 = jnp.sum(jnp.where(rows[None, :] == k, lu, 0.0), axis=1)
-        pivval = jnp.dot(is_k, colk2)
+        pivval = jnp.sum(jnp.where(is_k, colk2, 0.0))
         sing = sing | (pivval == 0.0) | ~jnp.isfinite(pivval)
         denom = jnp.where(pivval == 0.0, 1.0, pivval)
 
         factors = jnp.where(rows > k, colk2 / denom, 0.0)
-        urow = is_k @ lu  # pivot row after swap
+        urow = _row(lu, is_k)  # pivot row after swap
         upper = jnp.where(rows[None, :] > k, urow[None, :], 0.0)
         lu = lu - factors[:, None] * upper
         # store multipliers in column k below the diagonal
@@ -98,21 +106,26 @@ def lu_solve(lu_piv, b):
     rows = jnp.arange(n)
     dtype = lu.dtype
 
-    x = P @ jnp.asarray(b)
+    # permutation apply + substitutions via masked reductions (no tiny
+    # batched matvecs; see docs/TPU_NOTES.md #13)
+    x = jnp.sum(P * jnp.asarray(b)[None, :], axis=1)
+
+    def _row(m, mask):
+        return jnp.sum(jnp.where(mask[:, None], m, 0.0), axis=0)
 
     def fwd(k, x):
-        is_k = (rows == k).astype(dtype)
-        lk = jnp.where(rows < k, is_k @ lu, 0.0)
-        return x - is_k * jnp.dot(lk, x)
+        is_k = rows == k
+        lk = jnp.where(rows < k, _row(lu, is_k), 0.0)
+        return x - is_k.astype(dtype) * jnp.sum(lk * x)
 
     def bwd(i, x):
         k = n - 1 - i
-        is_k = (rows == k).astype(dtype)
-        urow = is_k @ lu
+        is_k = rows == k
+        urow = _row(lu, is_k)
         uk = jnp.where(rows > k, urow, 0.0)
-        diag = jnp.dot(urow, is_k)
-        val = (jnp.dot(is_k, x) - jnp.dot(uk, x)) / diag
-        return jnp.where(rows == k, val, x)
+        diag = jnp.sum(jnp.where(is_k, urow, 0.0))
+        val = (jnp.sum(jnp.where(is_k, x, 0.0)) - jnp.sum(uk * x)) / diag
+        return jnp.where(is_k, val, x)
 
     if n <= UNROLL_N:
         for k in range(n):

@@ -207,8 +207,8 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         psi = jnp.sum(jnp.where(gmask, gfull[:, None] * D, 0.0), axis=0)
         # masked selection instead of dynamic gathers (TPU-safe in loops)
         k6 = jnp.arange(MAX_ORDER + 1)
-        onehot_ord = (k6 == order).astype(dtype)
-        alpha_ord = jnp.dot(onehot_ord, jnp.asarray(alpha, dtype))
+        sel = lambda vec, idx: jnp.sum(jnp.where(k6 == idx, vec, 0.0))
+        alpha_ord = sel(jnp.asarray(alpha, dtype), order)
         psi = psi / alpha_ord
 
         c = h_signed / alpha_ord
@@ -295,7 +295,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         scale2 = ra.atol + ra.rtol * jnp.abs(y_new)
         scale2 = jnp.where(scale2 == 0.0, EPS, scale2)
         ec = jnp.asarray(error_const, dtype)
-        ec_ord = jnp.dot(onehot_ord, ec)
+        ec_ord = sel(ec, order)
         err_vec = ec_ord * delta
         error_norm = jnp.sqrt(jnp.mean((err_vec / scale2) ** 2))
 
@@ -304,7 +304,8 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
         # ---- Accept: update difference array (bdf.rs:491-503) ----
         rcol = _rows()[:, None]
-        row_op1 = ((_rows() == order + 1).astype(dtype)) @ D  # D[order+1]
+        row_op1 = jnp.sum(jnp.where((_rows() == order + 1)[:, None], D, 0.0),
+                          axis=0)  # D[order+1]
         D_acc = jnp.where(rcol == order + 2, delta[None, :] - row_op1[None, :], D)
         D_acc = jnp.where(rcol == order + 1, delta[None, :], D_acc)
         # downward sweep: D[k] <- sum_{j=k}^{order+1} D[j] for k <= order,
@@ -333,10 +334,12 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         finished = accepted & last
         adapt = accepted & (n_equal_acc >= order + 1) & ~finished
 
-        ec_m = jnp.dot((k6 == order - 1).astype(dtype), ec)
-        ec_p = jnp.dot((k6 == order + 1).astype(dtype), ec)
-        row_ord = ((_rows() == order).astype(dtype)) @ D_acc
-        row_op2 = ((_rows() == order + 2).astype(dtype)) @ D_acc
+        ec_m = sel(ec, order - 1)
+        ec_p = sel(ec, order + 1)
+        row_ord = jnp.sum(jnp.where((_rows() == order)[:, None], D_acc, 0.0),
+                          axis=0)
+        row_op2 = jnp.sum(jnp.where((_rows() == order + 2)[:, None], D_acc, 0.0),
+                          axis=0)
         err_m = jnp.where(
             order > 1,
             jnp.sqrt(jnp.mean((ec_m * row_ord / scale2) ** 2)),
