@@ -49,10 +49,12 @@ def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data"):
 def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                       atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
                       mesh: Optional[Mesh] = None, axis: str = "data",
-                      dtype=None):
+                      dtype=None, events=None, event_capacity: int = 16):
     """Batched solve with the ensemble axis sharded over a device mesh.
 
-    The batch size must be divisible by the mesh size.
+    The batch size must be divisible by the mesh size.  Per-lane terminal /
+    directional events are supported (fixed-capacity buffers, sharded with
+    the lanes).
     """
     y0_batch = jnp.atleast_2d(jnp.asarray(y0_batch))
     n = y0_batch.shape[1]
@@ -60,7 +62,8 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
         mesh = make_mesh(axis=axis)
     solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,
                                    args=tuple(args), jac=jac,
-                                   max_steps=max_steps)
+                                   max_steps=max_steps, events=events,
+                                   event_capacity=event_capacity)
     runner = shard_ensemble_solver(solver, mesh, axis)
     t0, tf = float(t_span[0]), float(t_span[1])
     y0_batch = jax.device_put(y0_batch, NamedSharding(mesh, P(axis)))
