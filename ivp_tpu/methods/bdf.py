@@ -8,10 +8,12 @@ Newton, and post-hoc order adaptation — algorithmic parity with the reference
 * the order is a traced int32 in the carried state; all order-dependent sums
   (predictor, psi, error constants) are masked reductions over the fixed
   MAX_ORDER+3 difference-array rows (SURVEY.md hard part #3);
-* the step/order rescaling D <- (R(factor) @ R(1))^T D runs as one masked
-  6x6 matmul built from cumulative products (bdf.rs:669-713);
-* the Newton iteration is a bounded ``lax.while_loop``; LU factorization is an
-  XLA batched LU that vmaps over ensembles.
+* the step/order rescaling D <- (R(factor) @ R(1))^T D runs as unrolled
+  broadcasted outer-product sums (bdf.rs:669-713; tiny batched matmuls are
+  pathological on TPU under vmap — docs/TPU_NOTES.md #13);
+* the Newton iteration is a bounded ``lax.while_loop``; LU factorization is
+  the gather/scatter-free pure-JAX LU (core/linalg.py) that vmaps over
+  ensembles.
 """
 from __future__ import annotations
 

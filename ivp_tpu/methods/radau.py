@@ -11,8 +11,8 @@ function:
   exit reason (converged / predicted divergence / theta blow-up / maxiter) is
   carried as a code instead of Rust's labelled breaks;
 * the per-step real LU of E1=(u1/h)M - J and complex LU of E2=((a+ib)/h)M - J
-  run on XLA's batched LU (split-real form, core/linalg.py) and batch over
-  vmapped ensembles;
+  run on the gather/scatter-free pure-JAX LU (split-real form,
+  core/linalg.py) and batch over vmapped ensembles;
 * jac/LU reuse flags (call_jac/call_decomp) are booleans in the carried state
   so reuse works per-trajectory under vmap (SURVEY.md hard part #1/#2).
 """
