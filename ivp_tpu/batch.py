@@ -52,7 +52,8 @@ def _hashable(obj):
 def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                           jac=None, max_steps: int = 100_000,
                           first_step: Optional[float] = None,
-                          events=None, event_capacity: int = 16) -> Callable:
+                          events=None, event_capacity: int = 16,
+                          unroll: int = 4) -> Callable:
     """Return a jittable ``solver(y0_batch, t0, tf, rtol, atol) -> EnsembleResult``.
 
     The returned function is pure (jit/vmap/shard_map composable); y0_batch has
@@ -96,7 +97,7 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
     engine, p = get_engine(method, need_cont=bool(n_ev), jac_fn=jac_fn, n=n)
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
-                       event_spec=ev_spec)
+                       event_spec=ev_spec, unroll=max(1, unroll))
     init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs, events_fn)
 
     def solve_one(y0, t0, tf, rtol, atol):

@@ -35,6 +35,9 @@ class DriverConfig:
     ncoeff: int = 0
     event_spec: Optional[EventSpec] = None
     sample_cap: int = 0        # in-loop t_grid emission buffer size (0 = off)
+    unroll: int = 1            # step attempts per while iteration (lean mode
+    #                            only: requires rec_cap == 0). Amortizes the
+    #                            loop condition's cross-lane reduction.
 
 
 class Carry(NamedTuple):
@@ -192,6 +195,17 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
             s_cursor=s_cursor, sample_y=sample_y,
         )
 
+    if cfg.unroll > 1 and cap:
+        raise ValueError("driver unroll requires rec_cap == 0 (lean mode)")
+
+    def _body_unrolled(c: Carry, ra: RunArgs) -> Carry:
+        if cfg.unroll <= 1:
+            return body(c, ra)
+        for _ in range(cfg.unroll):
+            c2 = body(c, ra)
+            c = tree_where(c.done, c, c2)  # freeze finished lanes mid-unroll
+        return c
+
     def run_chunk(c: Carry, ra: RunArgs) -> Carry:
         """Integrate until done or the record buffer fills (pure; jit me)."""
 
@@ -201,7 +215,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
                 go = go & (c.n_rec < cap)
             return go
 
-        return lax.while_loop(cond, lambda c: body(c, ra), c)
+        return lax.while_loop(cond, lambda c: _body_unrolled(c, ra), c)
 
     def reset_records(c: Carry) -> Carry:
         """Host-side drain helper: clear the record cursor between chunks."""
@@ -218,7 +232,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
                 go = go & (cc.n_rec < cap)
             return go
 
-        return lax.while_loop(cond, lambda cc: body(cc, ra), c)
+        return lax.while_loop(cond, lambda cc: _body_unrolled(cc, ra), c)
 
     return init_carry, run_chunk, reset_records, run_bounded
 
