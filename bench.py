@@ -63,6 +63,38 @@ def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
     return stats
 
 
+def measure_stiff(B=2048, t0=0.0, tf=300.0, rtol=1e-4, atol=1e-6):
+    """Secondary metric: stiff Van der Pol mu=1000 via Radau (chunked)."""
+    from ivp_tpu.batch import build_resumable_solver
+
+    def vdp_stiff(t, y):
+        return jnp.array([y[1], 1000.0 * (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+    start, resume, extract = build_resumable_solver(
+        vdp_stiff, "Radau", n=2, chunk_steps=4096)
+    rng = np.random.default_rng(0)
+    y0 = np.array([2.0, 0.0]) + 0.02 * rng.standard_normal((B, 2))
+
+    def run(y0b):
+        carry, ra = start(y0b, t0, tf, rtol, atol)
+        while True:
+            carry = resume(carry, ra)
+            if bool(np.all(np.asarray(carry.done))):
+                break
+        return extract(carry)
+
+    run(y0)  # warmup/compile
+    start_t = time.perf_counter()
+    res = run(y0 + 1e-9)
+    dt = time.perf_counter() - start_t
+    return {
+        "config": "VdP mu=1000, t=[0,300], Radau, rtol=1e-4",
+        "ivps_per_sec": round(B / dt, 1),
+        "wall_s": round(dt, 3),
+        "success_fraction": float(np.mean(np.asarray(res.status) == 0)),
+    }
+
+
 def _measure_with_retry(dtype, B, attempts=4):
     """The remote TPU worker occasionally restarts; retry with backoff."""
     for k in range(attempts):
@@ -78,6 +110,10 @@ def main():
     B = int(os.environ.get("IVP_TPU_BENCH_B", 131072))
     f64 = _measure_with_retry(jnp.float64, B)
     f32 = _measure_with_retry(jnp.float32, B)
+    try:
+        stiff = measure_stiff()
+    except Exception as e:  # secondary metric must never break the report
+        stiff = {"error": str(e)[:200]}
     value = f64["ivps_per_sec"]
     out = {
         "metric": "vdp_ivps_per_sec_per_chip_f64",
@@ -88,6 +124,7 @@ def main():
             "batch": B,
             "f64": f64,
             "f32": f32,
+            "stiff_radau_f64": stiff,
             "device": str(jax.devices()[0]),
             "config": "VdP mu=1, t=[0,100], DOPRI5, rtol=1e-6, atol=1e-8",
         },
