@@ -19,3 +19,9 @@ jax.config.update("jax_enable_x64", True)
 # The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS;
 # override after import so the test suite runs on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles of
+# large while-loop programs; caching them makes re-runs minutes instead of
+# ~45 min.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ivp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
