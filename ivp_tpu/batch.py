@@ -53,7 +53,7 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                           jac=None, max_steps: int = 100_000,
                           first_step: Optional[float] = None,
                           events=None, event_capacity: int = 16,
-                          unroll: int = 4) -> Callable:
+                          unroll: int = 4, t_eval=None) -> Callable:
     """Return a jittable ``solver(y0_batch, t0, tf, rtol, atol) -> EnsembleResult``.
 
     The returned function is pure (jit/vmap/shard_map composable); y0_batch has
@@ -95,25 +95,36 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
             return jnp.stack([jnp.asarray(e(t, y, *args), dtype).reshape(())
                               for e in ev_list])
 
-    engine, p = get_engine(method, need_cont=bool(n_ev), jac_fn=jac_fn, n=n)
+    sample_grid = None
+    sample_cap = 0
+    if t_eval is not None:
+        sample_grid = np.atleast_1d(np.asarray(t_eval, dtype=float))
+        sample_cap = int(sample_grid.shape[0])
+
+    engine, p = get_engine(method, need_cont=bool(n_ev) or sample_cap > 0,
+                           jac_fn=jac_fn, n=n)
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
-                       event_spec=ev_spec, unroll=max(1, unroll))
+                       event_spec=ev_spec, unroll=max(1, unroll),
+                       sample_cap=sample_cap)
     init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs, events_fn)
 
     def solve_one(y0, t0, tf, rtol, atol):
         ra = run_args(tf, jnp.broadcast_to(jnp.asarray(rtol, dtype), (n,)),
                       jnp.broadcast_to(jnp.asarray(atol, dtype), (n,)),
-                      jnp.abs(tf - t0), 0.0, max_steps, dtype)
+                      jnp.abs(tf - t0), 0.0, max_steps, dtype,
+                      t_grid=sample_grid)
         fs = jnp.asarray(first_step, dtype) if first_step is not None else None
         c = init_carry(t0, y0, fs, ra)
         c = run_chunk(c, ra)
-        ev_kw = {}
+        kw = {}
         if n_ev:
-            ev_kw = dict(t_events=c.ev.t_buf, y_events=c.ev.y_buf,
-                         n_events=c.ev.n_rec)
+            kw.update(t_events=c.ev.t_buf, y_events=c.ev.y_buf,
+                      n_events=c.ev.n_rec)
+        if sample_cap:
+            kw.update(y_samples=c.sample_y, n_samples=c.s_cursor)
         return EnsembleResult(t=c.t, y=c.y, status=c.status, nfev=c.nfev,
                               nstep=c.nstep, naccpt=c.naccpt, nrejct=c.nrejct,
-                              **ev_kw)
+                              **kw)
 
     def solver(y0_batch, t0, tf, rtol, atol):
         y0_batch = jnp.asarray(y0_batch, dtype)

@@ -49,7 +49,8 @@ def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data"):
 def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                       atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
                       mesh: Optional[Mesh] = None, axis: str = "data",
-                      dtype=None, events=None, event_capacity: int = 16):
+                      dtype=None, events=None, event_capacity: int = 16,
+                      t_eval=None):
     """Batched solve with the ensemble axis sharded over a device mesh.
 
     The batch size must be divisible by the mesh size.  Per-lane terminal /
@@ -63,7 +64,8 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,
                                    args=tuple(args), jac=jac,
                                    max_steps=max_steps, events=events,
-                                   event_capacity=event_capacity)
+                                   event_capacity=event_capacity,
+                                   t_eval=t_eval)
     runner = shard_ensemble_solver(solver, mesh, axis)
     t0, tf = float(t_span[0]), float(t_span[1])
     y0_batch = jax.device_put(y0_batch, NamedSharding(mesh, P(axis)))

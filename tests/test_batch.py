@@ -125,3 +125,30 @@ def test_ensemble_t_eval_sampling():
     assert np.all(np.asarray(res.n_samples) == 13)
     expected = lam[:, 0:1] * np.exp(-grid)[None, :]
     np.testing.assert_allclose(ys[:, :, 0], expected, rtol=1e-7)
+
+
+def test_sharded_with_t_eval_and_events():
+    """Sharded ensemble with per-lane events and shared-grid sampling."""
+    g = 9.81
+
+    def ball(t, y):
+        return jnp.array([y[1], -g])
+
+    def ground(t, y):
+        return y[0]
+
+    ground.terminal = True
+    ground.direction = -1
+
+    heights = np.linspace(5.0, 20.0, 32)
+    y0 = np.stack([heights, np.zeros(32)], axis=1)
+    grid = np.linspace(0.0, 0.5, 6)
+    res = solve_ivp_sharded(ball, (0.0, 10.0), y0, method="RK45",
+                            rtol=1e-9, atol=1e-9, events=[ground],
+                            t_eval=grid)
+    assert np.all(np.asarray(res.status) == Status.USER_INTERRUPT)
+    t_hits = np.asarray(res.t_events)[:, 0, 0]
+    np.testing.assert_allclose(t_hits, np.sqrt(2 * heights / g), rtol=1e-8)
+    ys = np.asarray(res.y_samples)  # (32, 6, 2)
+    expected = heights[:, None] - 0.5 * g * grid[None, :] ** 2
+    np.testing.assert_allclose(ys[:, :, 0], expected, rtol=1e-9, atol=1e-9)
