@@ -152,3 +152,19 @@ def test_sharded_with_t_eval_and_events():
     ys = np.asarray(res.y_samples)  # (32, 6, 2)
     expected = heights[:, None] - 0.5 * g * grid[None, :] ** 2
     np.testing.assert_allclose(ys[:, :, 0], expected, rtol=1e-9, atol=1e-9)
+
+
+def test_per_lane_t_span():
+    """build_ensemble_solver supports per-trajectory (t0, tf)."""
+    from ivp_tpu.batch import build_ensemble_solver
+
+    solver = jax.jit(build_ensemble_solver(expdec, "RK45", n=1))
+    B = 8
+    y0 = np.ones((B, 1))
+    t0 = np.zeros(B)
+    tf = np.linspace(1.0, 4.0, B)
+    res = solver(jnp.asarray(y0), jnp.asarray(t0), jnp.asarray(tf),
+                 1e-9, 1e-12)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    np.testing.assert_allclose(np.asarray(res.t), tf, rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(res.y)[:, 0], np.exp(-tf), rtol=1e-8)
