@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .types import canonical_method
+from .core.cache import LRUCache, cache_token
 from .core.driver import DriverConfig, make_driver, run_args
 from .core.events import EventSpec
 from .methods import get_engine
@@ -38,15 +39,8 @@ class EnsembleResult(NamedTuple):
     n_samples: Any = None  # (B,) int32 emitted sample counts
 
 
-_ENSEMBLE_CACHE: dict = {}
-
-
-def _hashable(obj):
-    try:
-        hash(obj)
-        return obj
-    except TypeError:
-        return id(obj)
+_ENSEMBLE_CACHE = LRUCache(maxsize=64)
+_hashable = cache_token  # GC-safe key component (core/cache.py)
 
 
 def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
@@ -253,14 +247,11 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
            chunk_steps,
            tuple(np.atleast_1d(np.asarray(t_eval, float)).tolist())
            if t_eval is not None else None)
-    entry = _ENSEMBLE_CACHE.get(key)
-    if entry is None:
-        entry = build_resumable_solver(
-            fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
-            max_steps=max_steps, first_step=first_step, events=events,
-            event_capacity=event_capacity, chunk_steps=chunk_steps,
-            t_eval=t_eval)
-        _ENSEMBLE_CACHE[key] = entry
+    entry = _ENSEMBLE_CACHE.get_or_build(key, lambda: build_resumable_solver(
+        fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
+        max_steps=max_steps, first_step=first_step, events=events,
+        event_capacity=event_capacity, chunk_steps=chunk_steps,
+        t_eval=t_eval))
     start, resume, extract = entry
     t0, tf = float(t_span[0]), float(t_span[1])
     carry, ra = start(y0_batch, t0, tf, rtol, atol)

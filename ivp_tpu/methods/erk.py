@@ -20,6 +20,7 @@ import dataclasses
 from typing import Any, NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from .. import tableaus as tab
 from ..types import Status
@@ -217,10 +218,30 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
 
     accepted = (err <= 1.0) & ~too_small
 
-    # FSAL-style derivative at the new point (reference computes on accept only;
-    # we compute unconditionally and count conditionally).
-    f_new = rhs(t + h, ynew)
-    nfev = _i32(11) + jnp.where(accepted, 1, 0).astype(jnp.int32)
+    # FSAL-style derivative at the new point plus (optionally) the 3 extra
+    # dense stages — the reference computes these on accept only
+    # (dop853.rs:521-560); gate them behind the accept flag so rejected
+    # attempts skip ~4 RHS evals in the single-trajectory path (under vmap
+    # cond lowers to both-branches select, same cost as before).
+    def _post_accept():
+        f_new = rhs(t + h, ynew)
+        if p.need_cont:
+            k_ext = ks + [f_new]
+            k14 = rhs(t + tab.DOP853_C14 * h, y + h * dotk(tab.DOP853_A14, k_ext))
+            k15 = rhs(t + tab.DOP853_C15 * h,
+                      y + h * dotk(tab.DOP853_A15, k_ext + [k14]))
+            k16 = rhs(t + tab.DOP853_C16 * h,
+                      y + h * dotk(tab.DOP853_A16, k_ext + [k14, k15]))
+            return f_new, k14, k15, k16
+        z = jnp.zeros_like(y)
+        return f_new, z, z, z
+
+    def _post_reject():
+        z = jnp.zeros_like(y)
+        return z, z, z, z
+
+    f_new, k14, k15, k16 = lax.cond(accepted, _post_accept, _post_reject)
+    nfev = _i32(11) + jnp.where(accepted, 4 if p.need_cont else 1, 0).astype(jnp.int32)
 
     # --- Stiffness detection (reference dop853.rs:447-472) ---
     do_stiff = accepted & (((naccpt + 1) % p.stiff_test == 0) | (ms.iasti > 0))
@@ -236,22 +257,16 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     stiff_fail = do_stiff & is_stiff & (iasti == 15)
     advance = accepted & ~stiff_fail
 
-    # --- Dense output: 3 extra stages + 8 coefficients (dop853.rs:474-591) ---
+    # --- Dense output: 8 coefficients from the 3 extra stages above
+    #     (dop853.rs:474-591) ---
     if p.need_cont:
-        k_ext = ks + [f_new]
-        k14 = rhs(t + tab.DOP853_C14 * h, y + h * dotk(tab.DOP853_A14, k_ext))
-        k15 = rhs(t + tab.DOP853_C15 * h, y + h * dotk(tab.DOP853_A15, k_ext + [k14]))
-        k16 = rhs(t + tab.DOP853_C16 * h,
-                  y + h * dotk(tab.DOP853_A16, k_ext + [k14, k15]))
-        k_all = k_ext + [k14, k15, k16]
-
+        k_all = ks + [f_new, k14, k15, k16]
         ydiff = ynew - y
         bspl = h * ks[0] - ydiff
         rows = [y, ydiff, bspl, ydiff - h * f_new - bspl]
         for r in range(4, 8):
             rows.append(h * dotk(tab.DOP853_D[r], k_all))
         cont = jnp.stack(rows)
-        nfev = nfev + jnp.where(accepted, 3, 0).astype(jnp.int32)
     else:
         cont = jnp.zeros((0,) + y.shape, y.dtype)
 
@@ -303,6 +318,11 @@ def dop853_interp(cont, xold, h, ti):
 def rk23_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     h, posneg = ms.h, ms.posneg
 
+    # Step-underflow guard (parity with the other adaptive engines; a lane
+    # stuck at err>1 with h -> 0 must terminate with a status, not loop
+    # until max_steps).
+    too_small = 0.1 * jnp.abs(h) <= jnp.abs(t) * p.uround
+
     last = (t + h - ra.tend) * posneg > 0.0
     h = jnp.where(last, ra.tend - t, h)
 
@@ -317,7 +337,7 @@ def rk23_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     sk = ra.atol + ra.rtol * jnp.maximum(jnp.abs(ynew), jnp.abs(y))
     err = scaled_rms(err_vec, sk)
 
-    accepted = err <= 1.0
+    accepted = (err <= 1.0) & ~too_small
     t_new = jnp.where(last, ra.tend, t + h)
     finished = accepted & (last | (t_new == ra.tend))
 
@@ -340,11 +360,12 @@ def rk23_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     )
     return StepProposal(
         accepted=accepted, advance=accepted, finished=finished,
-        status=_i32(Status.RUNNING),
+        status=jnp.where(too_small, _i32(Status.STEP_SIZE_TOO_SMALL),
+                         _i32(Status.RUNNING)),
         t_new=jnp.where(accepted, t_new, t), y_new=jnp.where(accepted, ynew, y),
         xold=t, h_used=h, cont=cont,
         nfev_inc=_i32(3), njev_inc=_i32(0), nlu_inc=_i32(0),
-        count_step=accepted, count_reject=~accepted,
+        count_step=accepted, count_reject=(~accepted) & ~too_small,
         ms=ms_new,
     )
 

@@ -441,6 +441,12 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         call_decomp_next = jnp.where(accepted, call_decomp_acc, True)
         call_jac_next = jnp.where(accepted, call_jac_acc, ms.call_jac)
 
+        # Consecutive-failure counter: increments on singular decompositions
+        # AND on Newton maxiter / theta blow-up, and resets on accept — the
+        # reference uses one shared counter for all three break reasons
+        # (radau.rs:391-416 singular LU, :483-495 maxiter, :584-595
+        # unexpected rejection; reset radau.rs:749), so >5 consecutive
+        # non-convergences reporting SINGULAR_MATRIX is reference parity.
         singular_next = jnp.where(accepted, _i32(0),
                                   jnp.where(broke, ms.singular + 1, ms.singular))
         status = jnp.where(too_small, _i32(Status.STEP_SIZE_TOO_SMALL),

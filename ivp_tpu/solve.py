@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .types import Status, canonical_method, scipy_message
+from .core.cache import LRUCache, cache_token
 from .core.driver import DriverConfig, make_driver, run_args
 from .core.events import EventSpec
 from .methods import get_engine
@@ -110,23 +111,12 @@ class OdeSolution:
 # Compiled-solver cache
 # =============================================================================
 
-_SOLVER_CACHE: dict = {}
-
-
-def _hashable(obj):
-    try:
-        hash(obj)
-        return obj
-    except TypeError:
-        return id(obj)
+_SOLVER_CACHE = LRUCache(maxsize=64)
+_hashable = cache_token  # GC-safe key component (core/cache.py)
 
 
 def _get_compiled(key, builder):
-    entry = _SOLVER_CACHE.get(key)
-    if entry is None:
-        entry = builder()
-        _SOLVER_CACHE[key] = entry
-    return entry
+    return _SOLVER_CACHE.get_or_build(key, builder)
 
 
 # =============================================================================
