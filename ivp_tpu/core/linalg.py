@@ -137,6 +137,210 @@ def lu_solve(lu_piv, b):
     return lax.fori_loop(0, n, bwd, x)
 
 
+def _lu_solve_cols(lu_piv, bcols):
+    """Multi-RHS ``lu_solve``: solve A X = B for B of shape (n, k).
+
+    Same masked substitutions as ``lu_solve`` broadcast over the column axis,
+    so the sequential depth is identical to a single solve.
+    """
+    lu, P = lu_piv
+    n = lu.shape[-1]
+    rows = jnp.arange(n)
+    dtype = lu.dtype
+
+    x = jnp.sum(P[:, :, None] * jnp.asarray(bcols)[None, :, :], axis=1)
+
+    def _row(m, mask):
+        return jnp.sum(jnp.where(mask[:, None], m, 0.0), axis=0)
+
+    def fwd(k, x):
+        is_k = rows == k
+        lk = jnp.where(rows < k, _row(lu, is_k), 0.0)
+        return x - is_k.astype(dtype)[:, None] * jnp.sum(lk[:, None] * x, axis=0)[None, :]
+
+    def bwd(i, x):
+        k = n - 1 - i
+        is_k = rows == k
+        urow = _row(lu, is_k)
+        uk = jnp.where(rows > k, urow, 0.0)
+        diag = jnp.sum(jnp.where(is_k, urow, 0.0))
+        val = (jnp.sum(jnp.where(is_k[:, None], x, 0.0), axis=0)
+               - jnp.sum(uk[:, None] * x, axis=0)) / diag
+        return jnp.where(is_k[:, None], val[None, :], x)
+
+    if n <= UNROLL_N:
+        for k in range(n):
+            x = fwd(k, x)
+        for i in range(n):
+            x = bwd(i, x)
+        return x
+    x = lax.fori_loop(0, n, fwd, x)
+    return lax.fori_loop(0, n, bwd, x)
+
+
+def matvec(a, x):
+    """(n, n) @ (n,) as broadcast multiply + reduce.
+
+    Tiny batched ``dot_general``s are pathologically slow under vmap on TPU
+    (docs/TPU_NOTES.md #13); this form fuses into the surrounding elementwise
+    program instead.
+    """
+    return jnp.sum(a * x[..., None, :], axis=-1)
+
+
+# Size cutoff for the closed-form adjugate inverse.  Above it the inverse is
+# built from the pivoted LU (one multi-RHS substitution pass).
+_ADJUGATE_N = 3
+
+
+def _prescale(*mats):
+    """Global scale factor bringing matrix entries to O(1).
+
+    The implicit solvers' iteration matrices have entries ~1/h, so adjugate
+    cofactor/determinant products reach 1e19..1e38+.  This runtime's f64
+    multiply breaks for products beyond the f32 range (~3.4e38): it returns
+    NaN/inf (observed on both the CPU and TPU backends — docs/TPU_NOTES.md).
+    Scaling to O(1) before forming products keeps everything in safe range
+    and is better conditioned regardless.
+    """
+    s = jnp.asarray(0.0, mats[0].dtype)
+    for m in mats:
+        s = jnp.maximum(s, jnp.max(jnp.abs(m)))
+    bad = (s == 0.0) | ~jnp.isfinite(s)
+    return jnp.where(bad, 1.0, s), bad
+
+
+def inv(a):
+    """Explicit inverse with a singularity flag: ``(a_inv, singular)``.
+
+    Purpose-built for the implicit solvers' ensembles: one inverse per
+    (re)factorization turns every Newton-iteration linear solve into a fused
+    elementwise matvec, replacing ~4n sequential masked substitution steps
+    per solve (the dominant stiff-ensemble cost under vmap, where
+    ``lax.cond``-gated reuse cannot skip work).  Closed-form adjugate for
+    n <= 3 (on a matrix pre-scaled to O(1) entries, see ``_prescale``);
+    partial-pivot LU + multi-RHS substitution above.
+    """
+    a = jnp.asarray(a)
+    n = a.shape[-1]
+    if n > _ADJUGATE_N:
+        lu_piv, sing = lu_factor(a)
+        return _lu_solve_cols(lu_piv, jnp.eye(n, dtype=a.dtype)), sing
+    scale, bad = _prescale(a)
+    a = a / scale
+    if n == 1:
+        det = a[0, 0]
+        sing = bad | (det == 0.0) | ~jnp.isfinite(det)
+        adj = jnp.full((1, 1), 1.0, a.dtype)
+        d = jnp.where(sing, 1.0, det)
+        return (adj / d) * (1.0 / scale), sing
+    if n == 2:
+        det = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+        sing = bad | (det == 0.0) | ~jnp.isfinite(det)
+        d = jnp.where(sing, 1.0, det)
+        adj = jnp.stack([jnp.stack([a[1, 1], -a[0, 1]]),
+                         jnp.stack([-a[1, 0], a[0, 0]])])
+        return (adj / d) * (1.0 / scale), sing
+    r0, r1, r2 = a[0], a[1], a[2]
+
+    def cross(u, v):
+        return jnp.stack([u[1] * v[2] - u[2] * v[1],
+                          u[2] * v[0] - u[0] * v[2],
+                          u[0] * v[1] - u[1] * v[0]])
+
+    c12 = cross(r1, r2)
+    det = jnp.sum(r0 * c12)
+    sing = bad | (det == 0.0) | ~jnp.isfinite(det)
+    d = jnp.where(sing, 1.0, det)
+    # inverse columns are r1xr2, r2xr0, r0xr1 over det
+    adj = jnp.stack([c12, cross(r2, r0), cross(r0, r1)], axis=1)
+    return (adj / d) * (1.0 / scale), sing
+
+
+def inv_complex(ar, ai):
+    """Inverse of the complex matrix ``ar + i*ai`` as ``((br, bi), singular)``.
+
+    Closed-form complex adjugate for n <= 3 (split re/im arithmetic — no
+    complex dtype, which varies across TPU generations); otherwise the
+    split-real 2n LU solved against the first n identity columns, whose
+    solution block-rows are exactly (Re, Im) of the complex inverse.
+    """
+    ar = jnp.asarray(ar)
+    ai = jnp.asarray(ai)
+    n = ar.shape[-1]
+
+    def cmul(x, y):
+        return x[0] * y[0] - x[1] * y[1], x[0] * y[1] + x[1] * y[0]
+
+    def cdiv_by(x, dr, di):
+        mag = dr * dr + di * di
+        return ((x[0] * dr + x[1] * di) / mag, (x[1] * dr - x[0] * di) / mag)
+
+    if n <= _ADJUGATE_N:
+        # Pre-scale to O(1) entries (see _prescale: products beyond the f32
+        # range break on this runtime's f64, and |det|^2 would overflow it).
+        scale, bad = _prescale(ar, ai)
+        ar = ar / scale
+        ai = ai / scale
+        rescale = 1.0 / scale
+        if n == 1:
+            dr, di = ar[0, 0], ai[0, 0]
+        elif n == 2:
+            m0 = cmul((ar[0, 0], ai[0, 0]), (ar[1, 1], ai[1, 1]))
+            m1 = cmul((ar[0, 1], ai[0, 1]), (ar[1, 0], ai[1, 0]))
+            dr, di = m0[0] - m1[0], m0[1] - m1[1]
+        else:
+            def cross_c(u, v):
+                out_r, out_i = [], []
+                for (p, q) in ((1, 2), (2, 0), (0, 1)):
+                    a_ = cmul((u[0][p], u[1][p]), (v[0][q], v[1][q]))
+                    b_ = cmul((u[0][q], u[1][q]), (v[0][p], v[1][p]))
+                    out_r.append(a_[0] - b_[0])
+                    out_i.append(a_[1] - b_[1])
+                return jnp.stack(out_r), jnp.stack(out_i)
+
+            rows = [(ar[k], ai[k]) for k in range(3)]
+            c12 = cross_c(rows[1], rows[2])
+            pr, pi = cmul((rows[0][0][0], rows[0][1][0]), (c12[0][0], c12[1][0]))
+            for k in (1, 2):
+                qr, qi = cmul((rows[0][0][k], rows[0][1][k]),
+                              (c12[0][k], c12[1][k]))
+                pr, pi = pr + qr, pi + qi
+            dr, di = pr, pi
+        sing = bad | ((dr == 0.0) & (di == 0.0)) | ~jnp.isfinite(dr) | ~jnp.isfinite(di)
+        dr = jnp.where(sing, 1.0, dr)
+        di = jnp.where(sing, 0.0, di)
+        if n == 1:
+            br, bi = cdiv_by((jnp.ones_like(ar), jnp.zeros_like(ai)), dr, di)
+            return (br * rescale, bi * rescale), sing
+        if n == 2:
+            adj_r = jnp.stack([jnp.stack([ar[1, 1], -ar[0, 1]]),
+                               jnp.stack([-ar[1, 0], ar[0, 0]])])
+            adj_i = jnp.stack([jnp.stack([ai[1, 1], -ai[0, 1]]),
+                               jnp.stack([-ai[1, 0], ai[0, 0]])])
+            br, bi = cdiv_by((adj_r, adj_i), dr, di)
+            return (br * rescale, bi * rescale), sing
+        c20 = cross_c(rows[2], rows[0])
+        c01 = cross_c(rows[0], rows[1])
+        adj_r = jnp.stack([c12[0], c20[0], c01[0]], axis=1)
+        adj_i = jnp.stack([c12[1], c20[1], c01[1]], axis=1)
+        br, bi = cdiv_by((adj_r, adj_i), dr, di)
+        return (br * rescale, bi * rescale), sing
+
+    lu_piv, sing = lu_factor_complex(ar, ai)
+    eye_top = jnp.concatenate([jnp.eye(n, dtype=ar.dtype),
+                               jnp.zeros((n, n), ar.dtype)], axis=0)
+    x = _lu_solve_cols(lu_piv, eye_top)
+    return (x[:n, :], x[n:, :]), sing
+
+
+def solve_complex_inv(binv, br_, bi_):
+    """Apply a complex inverse ``binv=(Br, Bi)`` to ``br_ + i*bi_``."""
+    Br, Bi = binv
+    return (matvec(Br, br_) - matvec(Bi, bi_),
+            matvec(Bi, br_) + matvec(Br, bi_))
+
+
 def split_complex_matrix(ar, ai):
     """Real 2n x 2n embedding of the complex matrix ar + i*ai."""
     top = jnp.concatenate([ar, -ai], axis=-1)

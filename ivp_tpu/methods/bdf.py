@@ -27,7 +27,7 @@ from jax import lax
 from .. import tableaus as tab
 from ..types import Status
 from ..core.common import hinit, safe_pow
-from ..core.linalg import lu_factor, lu_solve
+from ..core.linalg import inv, lu_factor, lu_solve, matvec
 from .base import Engine, RunArgs, StepProposal
 
 MAX_ORDER = tab.BDF_MAX_ORDER
@@ -45,8 +45,7 @@ class BDFState(NamedTuple):
     order: Any      # int32 in [1, 5]
     n_equal: Any    # int32 steps taken at current (h, order)
     jac: Any        # (n, n)
-    lu: Any         # (n, n)
-    piv: Any
+    lin: Any        # linear-solver rep: ((lu, P),) or (inv_mat,)
     lu_current: Any  # bool
     current_c: Any
 
@@ -58,6 +57,21 @@ class BDFParams:
     const_jac: bool = False
     newton_maxiter: int = NEWTON_MAXITER
     newton_tol: float = 0.0  # 0 => derived from tolerances
+    # "auto" uses the explicit inverse of (I - cJ) for small n so each Newton
+    # solve is a fused matvec (see radau.py linear_mode for rationale).
+    linear_mode: str = "auto"
+
+
+# n at or below which "auto" uses the explicit-inverse linear path.
+INV_AUTO_N = 8
+
+
+def _use_inverse(p) -> bool:
+    if p.linear_mode == "inverse":
+        return True
+    if p.linear_mode == "lu":
+        return False
+    return p.n <= INV_AUTO_N
 
 
 def _i32(v):
@@ -137,9 +151,13 @@ def make_bdf_init(jac_fn, p: BDFParams):
         D = jnp.zeros((MAX_ORDER + 3, n), dtype)
         D = D.at[0].set(y0)
         D = D.at[1].set(f0 * h_abs * posneg)
+        if _use_inverse(p):
+            lin0 = (jnp.zeros((n, n), dtype),)
+        else:
+            lin0 = ((jnp.zeros((n, n), dtype), jnp.eye(n, dtype=dtype)),)
         ms = BDFState(
             h_abs=h_abs, posneg=posneg, D=D, order=_i32(1), n_equal=_i32(0),
-            jac=jac, lu=jnp.zeros((n, n), dtype), piv=jnp.eye(n, dtype=dtype),
+            jac=jac, lin=lin0,
             lu_current=jnp.zeros((), bool), current_c=jnp.zeros((), dtype),
         )
         return ms, nfev
@@ -149,6 +167,20 @@ def make_bdf_init(jac_fn, p: BDFParams):
 
 def make_bdf_attempt(jac_fn, p: BDFParams):
     n = p.n
+    if _use_inverse(p):
+        def factor(m):
+            ainv, s = inv(m)
+            return (ainv,), s
+
+        def solve(lin, b):
+            return matvec(lin[0], b)
+    else:
+        def factor(m):
+            lu_piv, s = lu_factor(m)
+            return (lu_piv,), s
+
+        def solve(lin, b):
+            return lu_solve(lin[0], b)
     gamma = tab.BDF_GAMMA
     alpha = tab.BDF_ALPHA
     error_const = tab.BDF_ERROR_CONST
@@ -221,15 +253,13 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
         def build():
             m = jnp.eye(n, dtype=dtype) - c * ms.jac
-            (lu, piv), s = lu_factor(m)
-            return lu, piv, s
+            return factor(m)
 
-        lu, piv, sing = lax.cond(rebuild, build,
-                                 lambda: (ms.lu, ms.piv, jnp.zeros((), bool)))
+        lin, sing = lax.cond(rebuild, build,
+                             lambda: (ms.lin, jnp.zeros((), bool)))
         nlu = jnp.where(rebuild, 1, 0).astype(jnp.int32)
         lu_current = lu_current | rebuild
         current_c = jnp.where(rebuild, c, ms.current_c)
-        lu_piv = (lu, piv)
 
         # ---- Simplified Newton (bdf.rs:385-459) ----
         nst = dict(
@@ -246,7 +276,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
             maxed = s["it"] >= p.newton_maxiter
             f = rhs(x_new, s["y_new"])
             rhs_v = c * f - psi - s["delta"]
-            dy = lu_solve(lu_piv, rhs_v)
+            dy = solve(lin, rhs_v)
             dy_norm = jnp.sqrt(jnp.mean((dy / scale) ** 2))
 
             has_prev = s["prev"] >= 0.0
@@ -358,8 +388,6 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         new_order = jnp.clip(order + delta_order, 1, MAX_ORDER)
         step_factor = jnp.minimum(MAX_FACTOR, safety * jnp.max(factors))
 
-        D_adapted = change_d(D_acc, new_order, step_factor)
-        D_final = jnp.where(adapt, D_adapted, D_acc)
         order_next = jnp.where(adapt, new_order, order)
         h_abs_adapt = h_abs * step_factor
         order_changed = adapt & (new_order != order)
@@ -373,9 +401,18 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
             safety * safe_pow(error_norm, -1.0 / (order.astype(dtype) + 1.0)),
             MIN_FACTOR)
 
-        fac_down = jnp.where(accepted, 1.0,
-                             jnp.where(newton_fail, fac_fail, fac_rej))
-        D_next = jnp.where(accepted, D_final, change_d(D, order, fac_down))
+        # One merged rescaling for all outcome cases (change_d dominates the
+        # attempt's elementwise-op count; 3 calls/attempt merged to 2):
+        #   adapt:          change_d(D_acc, new_order, step_factor)
+        #   accept, !adapt: factor 1.0 => D_acc unchanged
+        #   reject:         change_d(D, order, fac_down)
+        fac_down = jnp.where(adapt, step_factor,
+                             jnp.where(accepted, 1.0,
+                                       jnp.where(newton_fail, fac_fail,
+                                                 fac_rej)))
+        D_in = jnp.where(accepted, D_acc, D)
+        ord_in = jnp.where(adapt, new_order, order)
+        D_next = change_d(D_in, ord_in, fac_down)
         h_next = jnp.where(accepted, jnp.where(adapt, h_abs_adapt, h_abs),
                            jnp.where(newton_fail, h_abs * fac_fail,
                                      h_abs * fac_rej))
@@ -391,7 +428,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         ms_new = BDFState(
             h_abs=h_next, posneg=posneg, D=D_next,
             order=order_next, n_equal=n_equal_next,
-            jac=jac_after, lu=lu, piv=piv,
+            jac=jac_after, lin=lin,
             lu_current=lu_next, current_c=current_c,
         )
         return StepProposal(

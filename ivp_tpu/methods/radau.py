@@ -28,7 +28,9 @@ from jax import lax
 from .. import tableaus as tab
 from ..types import Status
 from ..core.common import safe_pow
-from ..core.linalg import lu_factor, lu_factor_complex, lu_solve, lu_solve_complex
+from ..core.linalg import (inv, inv_complex, lu_factor, lu_factor_complex,
+                           lu_solve, lu_solve_complex, matvec,
+                           solve_complex_inv)
 from .base import Engine, RunArgs, StepProposal
 
 
@@ -51,10 +53,7 @@ class RadauState(NamedTuple):
     call_decomp: Any
     singular: Any   # int32 consecutive-failure counter
     jac: Any        # (n, n)
-    lu1: Any        # (n, n) factored E1
-    piv1: Any
-    lu2: Any        # (2n, 2n) factored split-real E2
-    piv2: Any
+    lin: Any        # linear-solver rep: ((lu1,P1),(lu2,P2)) or (inv1, Br, Bi)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +73,16 @@ class RadauParams:
     nind: Tuple[Optional[int], Optional[int], Optional[int]] = (None, None, None)
     has_mass: bool = False
     const_jac: bool = False
+    # Linear-solver mode: "auto" picks the explicit-inverse path for small n
+    # (each Newton solve becomes a fused matvec — the stiff-ensemble hot-loop
+    # optimization; under vmap the cond-gated LU reuse of the reference
+    # radau.rs:761-776 cannot skip work, so the decomposition must be cheap
+    # instead), "lu" forces factored substitution, "inverse" forces inverses.
+    linear_mode: str = "auto"
+
+
+# n at or below which "auto" uses the explicit-inverse linear path.
+INV_AUTO_N = 8
 
 
 # Newton-loop exit codes.
@@ -105,8 +114,25 @@ def _dae_partition(p: RadauParams, n: int):
     return n1, n2, n3
 
 
+def _use_inverse(p: RadauParams) -> bool:
+    if p.linear_mode == "inverse":
+        return True
+    if p.linear_mode == "lu":
+        return False
+    return p.n <= INV_AUTO_N
+
+
+def _zero_lin(n, dtype, use_inv):
+    if use_inv:
+        return (jnp.zeros((n, n), dtype),
+                jnp.zeros((n, n), dtype), jnp.zeros((n, n), dtype))
+    return ((jnp.zeros((n, n), dtype), jnp.eye(n, dtype=dtype)),
+            (jnp.zeros((2 * n, 2 * n), dtype), jnp.eye(2 * n, dtype=dtype)))
+
+
 def make_radau_init(jac_fn, mass_mat, p: RadauParams):
     n = p.n
+    use_inv = _use_inverse(p)
 
     def init(rhs, t0, y0, first_step, ra: RunArgs, p_):
         dtype = y0.dtype
@@ -130,9 +156,7 @@ def make_radau_init(jac_fn, mass_mat, p: RadauParams):
             call_jac=jnp.ones((), bool), call_decomp=jnp.ones((), bool),
             singular=_i32(0),
             jac=jnp.zeros((n, n), dtype),
-            lu1=jnp.zeros((n, n), dtype), piv1=jnp.eye(n, dtype=dtype),
-            lu2=jnp.zeros((2 * n, 2 * n), dtype),
-            piv2=jnp.eye(2 * n, dtype=dtype),
+            lin=_zero_lin(n, dtype, use_inv),
         )
         return ms, 1
 
@@ -141,6 +165,30 @@ def make_radau_init(jac_fn, mass_mat, p: RadauParams):
 
 def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
     n = p.n
+    use_inv = _use_inverse(p)
+
+    if use_inv:
+        def factor(e1, e2r, e2i):
+            inv1, s1 = inv(e1)
+            binv, s2 = inv_complex(e2r, e2i)
+            return (inv1, binv[0], binv[1]), s1 | s2
+
+        def solve1(lin, b):
+            return matvec(lin[0], b)
+
+        def solve2(lin, br_, bi_):
+            return solve_complex_inv((lin[1], lin[2]), br_, bi_)
+    else:
+        def factor(e1, e2r, e2i):
+            lu1_piv, s1 = lu_factor(e1)
+            lu2_piv, s2 = lu_factor_complex(e2r, e2i)
+            return (lu1_piv, lu2_piv), s1 | s2
+
+        def solve1(lin, b):
+            return lu_solve(lin[0], b)
+
+        def solve2(lin, br_, bi_):
+            return lu_solve_complex(lin[1], br_, bi_)
     n1, n2, n3 = _dae_partition(p, n)
     T = tab.RADAU_T
     TI = tab.RADAU_TI
@@ -197,17 +245,13 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         # ---- Decompositions (reused when step ratio ~1; radau.rs:374-417) ----
         def do_decomp():
             e1, e2r, e2i = build_matrices(h, jac)
-            (lu1, piv1), s1 = lu_factor(e1)
-            (lu2, piv2), s2 = lu_factor_complex(e2r, e2i)
-            return lu1, piv1, lu2, piv2, s1 | s2
+            return factor(e1, e2r, e2i)
 
         def keep_decomp():
-            return ms.lu1, ms.piv1, ms.lu2, ms.piv2, jnp.zeros((), bool)
+            return ms.lin, jnp.zeros((), bool)
 
-        lu1, piv1, lu2, piv2, sing = lax.cond(ms.call_decomp, do_decomp, keep_decomp)
+        lin, sing = lax.cond(ms.call_decomp, do_decomp, keep_decomp)
         nlu = jnp.where(ms.call_decomp, 2, 0).astype(jnp.int32)
-        lu1_piv = (lu1, piv1)
-        lu2_piv = (lu2, piv2)
 
         # ---- Step guards (radau.rs:423-431) ----
         too_small = 0.1 * jnp.abs(h) <= jnp.abs(t) * p.uround
@@ -284,8 +328,8 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
             z3 = z3 - alphn * mf3 - betan * mf2
 
             # Linear solves against the factored E1 / E2.
-            z1 = lu_solve(lu1_piv, z1)
-            z2, z3 = lu_solve_complex(lu2_piv, z2, z3)
+            z1 = solve1(lin, z1)
+            z2, z3 = solve2(lin, z2, z3)
 
             it = s["it"] + 1
             dyno = jnp.sqrt(
@@ -351,7 +395,7 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         hee = DD / h
         f1e = hee[0] * z1 + hee[1] * z2 + hee[2] * z3
         f2e = mdot(f1e)
-        err_vec = lu_solve(lu1_piv, f2e + ms.f0)
+        err_vec = solve1(lin, f2e + ms.f0)
 
         def rms(v):
             return jnp.maximum(jnp.sqrt(jnp.mean((v / scal) ** 2)), 1e-10)
@@ -360,7 +404,7 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
 
         def refine():
             fr = rhs(t, err_vec + y)
-            ev2 = lu_solve(lu1_piv, fr + f2e)
+            ev2 = solve1(lin, fr + f2e)
             return rms(ev2), _i32(1)
 
         do_refine = converged & (err0 >= 1.0) & (ms.first | ms.reject)
@@ -469,7 +513,7 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
             hhfac=hhfac_next, h_acc=h_acc, err_acc=err_acc,
             call_jac=call_jac_next, call_decomp=call_decomp_next,
             singular=singular_next,
-            jac=jac, lu1=lu1, piv1=piv1, lu2=lu2, piv2=piv2,
+            jac=jac, lin=lin,
         )
 
         count_step = ~sing  # singular decomposition retries are not steps
