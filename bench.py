@@ -63,15 +63,21 @@ def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
     return stats
 
 
-def measure_stiff(B=2048, t0=0.0, tf=300.0, rtol=1e-4, atol=1e-6):
-    """Secondary metric: stiff Van der Pol mu=1000 via Radau (chunked)."""
+def measure_stiff(method="Radau", B=32768, t0=0.0, tf=3000.0, rtol=1e-4,
+                  atol=1e-6, dtype=jnp.float64):
+    """Secondary metric: stiff Van der Pol mu=1000 (chunked resumable solve).
+
+    Config matches the reference harness's stiff benchmark (reference
+    benches/benchmark.py:118-126): mu=1000, t in [0, 3000] — about two
+    relaxation-oscillation periods, ~405 Radau / ~904 BDF steps per IVP.
+    """
     from ivp_tpu.batch import build_resumable_solver
 
     def vdp_stiff(t, y):
         return jnp.array([y[1], 1000.0 * (1.0 - y[0] ** 2) * y[1] - y[0]])
 
     start, resume, extract = build_resumable_solver(
-        vdp_stiff, "Radau", n=2, chunk_steps=4096)
+        vdp_stiff, method, n=2, chunk_steps=4096, dtype=dtype)
     rng = np.random.default_rng(0)
     y0 = np.array([2.0, 0.0]) + 0.02 * rng.standard_normal((B, 2))
 
@@ -88,7 +94,8 @@ def measure_stiff(B=2048, t0=0.0, tf=300.0, rtol=1e-4, atol=1e-6):
     res = run(y0 + 1e-9)
     dt = time.perf_counter() - start_t
     return {
-        "config": "VdP mu=1000, t=[0,300], Radau, rtol=1e-4",
+        "config": f"VdP mu=1000, t=[0,3000], {method}, rtol=1e-4, "
+                  f"{jnp.dtype(dtype).name}, B={B}",
         "ivps_per_sec": round(B / dt, 1),
         "wall_s": round(dt, 3),
         "success_fraction": float(np.mean(np.asarray(res.status) == 0)),
@@ -110,10 +117,15 @@ def main():
     B = int(os.environ.get("IVP_TPU_BENCH_B", 131072))
     f64 = _measure_with_retry(jnp.float64, B)
     f32 = _measure_with_retry(jnp.float32, B)
-    try:
-        stiff = measure_stiff()
-    except Exception as e:  # secondary metric must never break the report
-        stiff = {"error": str(e)[:200]}
+    def _stiff(**kw):
+        try:  # secondary metrics must never break the report
+            return measure_stiff(**kw)
+        except Exception as e:
+            return {"error": str(e)[:200]}
+
+    stiff = _stiff(method="Radau")
+    stiff_bdf = _stiff(method="BDF")
+    stiff_f32 = _stiff(method="Radau", dtype=jnp.float32)
     value = f64["ivps_per_sec"]
     out = {
         "metric": "vdp_ivps_per_sec_per_chip_f64",
@@ -125,6 +137,8 @@ def main():
             "f64": f64,
             "f32": f32,
             "stiff_radau_f64": stiff,
+            "stiff_bdf_f64": stiff_bdf,
+            "stiff_radau_f32": stiff_f32,
             "device": str(jax.devices()[0]),
             "config": "VdP mu=1, t=[0,100], DOPRI5, rtol=1e-6, atol=1e-8",
         },

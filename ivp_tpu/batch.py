@@ -22,6 +22,29 @@ from .core.cache import LRUCache, cache_token
 from .core.driver import DriverConfig, make_driver, run_args
 from .core.events import EventSpec
 from .methods import get_engine
+from .methods.base import RunArgs
+
+
+def _norm_tol(v, B, n, dtype, name):
+    """Normalize a tolerance to (value, vmap_axis).
+
+    scalar / (n,)            -> shared across the batch (axis None)
+    (B,) with B != n         -> per-lane scalar
+    (B, 1) or (B, n)         -> per-lane (possibly per-component)
+
+    A 1-D length-B array with B == n is ambiguous and treated as
+    per-component; pass shape (B, 1) to force per-lane in that case.
+    """
+    a = jnp.asarray(v, dtype)
+    if a.ndim == 1 and a.shape[0] == B and B != n:
+        a = a[:, None]
+    if a.ndim == 2:
+        if a.shape[0] != B:
+            raise ValueError(
+                f"{name} with 2 dims must have leading batch dim {B}, "
+                f"got {a.shape}")
+        return jnp.broadcast_to(a, (B, n)), 0
+    return jnp.broadcast_to(a, (n,)), None
 
 
 class EnsembleResult(NamedTuple):
@@ -92,8 +115,11 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     sample_grid = None
     sample_cap = 0
     if t_eval is not None:
+        # (m,) shared grid or (B, m) per-lane grids.
         sample_grid = np.atleast_1d(np.asarray(t_eval, dtype=float))
-        sample_cap = int(sample_grid.shape[0])
+        if sample_grid.ndim > 2:
+            raise ValueError("t_eval must be 1-D (shared) or 2-D (per-lane)")
+        sample_cap = int(sample_grid.shape[-1])
 
     engine, p = get_engine(method, need_cont=bool(n_ev) or sample_cap > 0,
                            jac_fn=jac_fn, n=n)
@@ -102,11 +128,11 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                        sample_cap=sample_cap)
     init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs, events_fn)
 
-    def solve_one(y0, t0, tf, rtol, atol):
-        ra = run_args(tf, jnp.broadcast_to(jnp.asarray(rtol, dtype), (n,)),
-                      jnp.broadcast_to(jnp.asarray(atol, dtype), (n,)),
+    def solve_one(y0, t0, tf, rtol, atol, t_grid):
+        ra = run_args(tf, jnp.broadcast_to(rtol, (n,)),
+                      jnp.broadcast_to(atol, (n,)),
                       jnp.abs(tf - t0), 0.0, max_steps, dtype,
-                      t_grid=sample_grid)
+                      t_grid=t_grid)
         fs = jnp.asarray(first_step, dtype) if first_step is not None else None
         c = init_carry(t0, y0, fs, ra)
         c = run_chunk(c, ra)
@@ -125,8 +151,15 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         B = y0_batch.shape[0]
         t0_b = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
         tf_b = jnp.broadcast_to(jnp.asarray(tf, dtype), (B,))
-        return jax.vmap(solve_one, in_axes=(0, 0, 0, None, None))(
-            y0_batch, t0_b, tf_b, rtol, atol)
+        rtol_v, ax_r = _norm_tol(rtol, B, n, dtype, "rtol")
+        atol_v, ax_a = _norm_tol(atol, B, n, dtype, "atol")
+        if sample_grid is None:
+            grid, ax_g = None, None
+        else:
+            grid = jnp.asarray(sample_grid, dtype)
+            ax_g = 0 if grid.ndim == 2 else None
+        return jax.vmap(solve_one, in_axes=(0, 0, 0, ax_r, ax_a, ax_g))(
+            y0_batch, t0_b, tf_b, rtol_v, atol_v, grid)
 
     return solver
 
@@ -183,8 +216,11 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     sample_grid = None
     sample_cap = 0
     if t_eval is not None:
+        # (m,) shared grid or (B, m) per-lane grids.
         sample_grid = np.atleast_1d(np.asarray(t_eval, dtype=float))
-        sample_cap = int(sample_grid.shape[0])
+        if sample_grid.ndim > 2:
+            raise ValueError("t_eval must be 1-D (shared) or 2-D (per-lane)")
+        sample_cap = int(sample_grid.shape[-1])
 
     engine, p = get_engine(method_c, need_cont=bool(n_ev) or sample_cap > 0,
                            jac_fn=jac_fn, n=n)
@@ -192,28 +228,44 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                        event_spec=ev_spec, sample_cap=sample_cap)
     init_carry, _, _, run_bounded = make_driver(engine, p, cfg, rhs, events_fn)
 
-    from .core.driver import run_args as _run_args
+    def _ra_axes(ra: RunArgs) -> RunArgs:
+        """vmap axes matching which RunArgs fields are per-lane (batched
+        fields carry a leading B axis; shapes are static at trace time)."""
+        return RunArgs(
+            tend=None,
+            rtol=0 if ra.rtol.ndim == 2 else None,
+            atol=0 if ra.atol.ndim == 2 else None,
+            hmax=None, hmin=None, max_steps=None,
+            t_grid=(0 if (ra.t_grid is not None and ra.t_grid.ndim == 2)
+                    else None),
+        )
 
     def start(y0_batch, t0, tf, rtol, atol):
         y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
         if sample_grid is not None:
             d = np.sign(float(tf) - float(t0)) or 1.0
-            if np.any(np.diff(sample_grid * d) < 0):
+            if np.any(np.diff(sample_grid * d, axis=-1) < 0):
                 raise ValueError("t_eval must be sorted in integration direction")
-        ra = _run_args(tf, jnp.broadcast_to(jnp.asarray(rtol, dtype), (n,)),
-                       jnp.broadcast_to(jnp.asarray(atol, dtype), (n,)),
-                       abs(float(tf) - float(t0)), 0.0, max_steps, dtype,
-                       t_grid=sample_grid)
+        rtol_v, _ = _norm_tol(rtol, B, n, dtype, "rtol")
+        atol_v, _ = _norm_tol(atol, B, n, dtype, "atol")
+        grid = (jnp.asarray(sample_grid, dtype)
+                if sample_grid is not None else None)
+        ra = RunArgs(
+            tend=jnp.asarray(tf, dtype), rtol=rtol_v, atol=atol_v,
+            hmax=jnp.asarray(abs(float(tf) - float(t0)), dtype),
+            hmin=jnp.asarray(0.0, dtype),
+            max_steps=jnp.asarray(max_steps, jnp.int32), t_grid=grid)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
         fs = jnp.asarray(first_step, dtype) if first_step is not None else None
-        carry = jax.vmap(lambda y0, tt: init_carry(tt, y0, fs, ra))(
-            y0_batch, t0_b)
+        carry = jax.vmap(lambda y0, tt, r: init_carry(tt, y0, fs, r),
+                         in_axes=(0, 0, _ra_axes(ra)))(y0_batch, t0_b, ra)
         return carry, ra
 
     @jax.jit
     def resume(carry, ra):
-        return jax.vmap(lambda c: run_bounded(c, ra, chunk_steps))(carry)
+        return jax.vmap(lambda c, r: run_bounded(c, r, chunk_steps),
+                        in_axes=(0, _ra_axes(ra)))(carry, ra)
 
     def extract(carry):
         kw = {}
@@ -245,7 +297,8 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
            _hashable(jac), max_steps, first_step is not None,
            tuple(_hashable(e) for e in (events or [])), event_capacity,
            chunk_steps,
-           tuple(np.atleast_1d(np.asarray(t_eval, float)).tolist())
+           (np.asarray(t_eval, float).shape,
+            np.asarray(t_eval, float).tobytes())
            if t_eval is not None else None)
     entry = _ENSEMBLE_CACHE.get_or_build(key, lambda: build_resumable_solver(
         fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,

@@ -226,6 +226,15 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
 
     def attempt(rhs, t, y, naccpt, ms: RadauState, ra: RunArgs, p_):
         dtype = y.dtype
+        # The tableau arrays are strong-typed float64 numpy constants; cast
+        # to the working dtype so f32 runs don't silently promote (and then
+        # fail the while-loop carry type check).
+        T = jnp.asarray(tab.RADAU_T, dtype)
+        TI = jnp.asarray(tab.RADAU_TI, dtype)
+        DD = jnp.asarray(tab.RADAU_DD, dtype)
+        C1, C2 = float(tab.RADAU_C1), float(tab.RADAU_C2)
+        C1M1, C2M1 = float(tab.RADAU_C1M1), float(tab.RADAU_C2M1)
+        C1MC2 = float(tab.RADAU_C1MC2)
         rtol_t, atol_t = _transform_tols(ra)
         if p.newton_tol is not None:
             newton_tol = jnp.asarray(p.newton_tol, y.dtype)
@@ -539,8 +548,8 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
 def radau_interp(cont, xold, h, ti):
     """Collocation interpolant in s = (t - (xold+h))/h (radau.rs:798-809)."""
     s = (ti - (xold + h)) / h
-    return cont[0] + s * (cont[1] + (s - tab.RADAU_C2M1) *
-                          (cont[2] + (s - tab.RADAU_C1M1) * cont[3]))
+    return cont[0] + s * (cont[1] + (s - float(tab.RADAU_C2M1)) *
+                          (cont[2] + (s - float(tab.RADAU_C1M1)) * cont[3]))
 
 
 def make_engine(need_cont: bool, *, jac_fn, const_jac=False, mass=None,

@@ -168,3 +168,43 @@ def test_per_lane_t_span():
     assert np.all(np.asarray(res.status) == Status.SUCCESS)
     np.testing.assert_allclose(np.asarray(res.t), tf, rtol=0, atol=1e-14)
     np.testing.assert_allclose(np.asarray(res.y)[:, 0], np.exp(-tf), rtol=1e-8)
+
+
+def test_per_lane_rtol():
+    """Per-lane tolerances (shape (B, 1) or (B, n)): tighter lanes do more
+    work and land closer to the exact solution; both ensemble APIs."""
+    from ivp_tpu.batch import build_ensemble_solver
+    from ivp_tpu import solve_ivp_ensemble
+
+    B = 8
+    rtols = np.logspace(-9, -3, B).reshape(B, 1)
+    y0 = np.ones((B, 1))
+    solver = jax.jit(build_ensemble_solver(expdec, "RK45", n=1))
+    res = solver(jnp.asarray(y0), 0.0, 5.0, jnp.asarray(rtols), 1e-12)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    err = np.abs(np.asarray(res.y)[:, 0] - np.exp(-5.0))
+    nfev = np.asarray(res.nfev)
+    assert err[0] < err[-1] * 1e-2          # tight lane is more accurate
+    assert nfev[0] > nfev[-1]               # ... and works harder
+
+    res2 = solve_ivp_ensemble(expdec, (0.0, 5.0), y0, method="RK45",
+                              rtol=rtols, atol=1e-12)
+    err2 = np.abs(np.asarray(res2.y)[:, 0] - np.exp(-5.0))
+    assert err2[0] < err2[-1] * 1e-2
+
+
+def test_per_lane_t_eval_backward():
+    """Per-lane (B, m) sampling grids in a backward-time ensemble."""
+    from ivp_tpu.batch import build_ensemble_solver
+
+    B = 6
+    grids = np.stack([np.linspace(0.0, -3.0, 7) * (1.0 - 0.05 * k)
+                      for k in range(B)])
+    solver = jax.jit(build_ensemble_solver(expdec, "RK45", n=1,
+                                           t_eval=grids))
+    y0 = np.ones((B, 1))
+    res = solver(jnp.asarray(y0), 0.0, -3.0, 1e-9, 1e-12)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    assert np.all(np.asarray(res.n_samples) == 7)
+    got = np.asarray(res.y_samples)[:, :, 0]
+    np.testing.assert_allclose(got, np.exp(-grids), rtol=1e-7, atol=1e-8)

@@ -95,3 +95,53 @@ def test_dense_extrapolation_matches_scipy_convention():
     np.testing.assert_allclose(after, np.exp(-1.05), rtol=1e-4)
     np.testing.assert_allclose(before, np.exp(0.05), rtol=1e-4)
     assert res.sol.t_min == 0.0 and res.sol.t_max == 1.0
+
+
+@pytest.mark.parametrize("method", ["Radau", "BDF"])
+def test_f32_stiff_robertson(method):
+    """float32 stiff path (reference f32 feature, lib.rs:78-85): Robertson
+    at rtol 1e-4 matches the f64 solution to f32-appropriate accuracy."""
+    def rober(t, y):
+        return jnp.array([-0.04 * y[0] + 1e4 * y[1] * y[2],
+                          0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+                          3e7 * y[1] ** 2])
+
+    r32 = solve_ivp(rober, (0.0, 100.0), [1.0, 0.0, 0.0], method=method,
+                    rtol=1e-4, atol=1e-8, dtype=jnp.float32)
+    assert r32.success
+    ref = np.array([6.172350e-01, 6.153594e-06, 3.827588e-01])
+    np.testing.assert_allclose(np.asarray(r32.y[:, -1]), ref, rtol=2e-4)
+
+
+@pytest.mark.parametrize("method", ["Radau", "BDF"])
+def test_f32_stiff_vdp100(method):
+    """float32 vs float64 on moderately stiff Van der Pol (mu=100).
+
+    Note: extremely stiff problems at large t (VdP mu=1000, t~800) exceed
+    f32 *time* resolution for BDF's small layer steps — the same limitation
+    the reference's all-f32 build has; Radau's larger order-5 steps clear it.
+    """
+    def vdp(t, y):
+        return jnp.array([y[1], 100.0 * (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+    r32 = solve_ivp(vdp, (0.0, 200.0), [2.0, 0.0], method=method,
+                    rtol=1e-4, atol=1e-6, dtype=jnp.float32)
+    r64 = solve_ivp(vdp, (0.0, 200.0), [2.0, 0.0], method=method,
+                    rtol=1e-4, atol=1e-6)
+    assert r32.success and r64.success
+    np.testing.assert_allclose(np.asarray(r32.y[:, -1]),
+                               np.asarray(r64.y[:, -1]), rtol=2e-3, atol=1e-5)
+
+
+def test_f32_stiff_vdp1000_radau():
+    """float32 Radau handles the reference harness's stiff benchmark config
+    (VdP mu=1000, t=[0,3000]) and matches f64 closely."""
+    def vdp(t, y):
+        return jnp.array([y[1], 1000.0 * (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+    r32 = solve_ivp(vdp, (0.0, 3000.0), [2.0, 0.0], method="Radau",
+                    rtol=1e-4, atol=1e-6, dtype=jnp.float32)
+    assert r32.success
+    np.testing.assert_allclose(np.asarray(r32.y[:, -1]),
+                               np.array([-1.51059381, 1.17834991e-03]),
+                               rtol=1e-3, atol=1e-6)
