@@ -27,6 +27,8 @@ from jax import lax
 from .. import tableaus as tab
 from ..types import Status
 from ..core.common import hinit, safe_pow
+from ..core.block_tridiag import (blocks_from_dense, btd_factor, btd_solve,
+                                  pad_rhs)
 from ..core.linalg import inv, lu_factor, lu_solve, matvec
 from .base import Engine, RunArgs, StepProposal
 
@@ -58,20 +60,85 @@ class BDFParams:
     newton_maxiter: int = NEWTON_MAXITER
     newton_tol: float = 0.0  # 0 => derived from tolerances
     # "auto" uses the explicit inverse of (I - cJ) for small n so each Newton
-    # solve is a fused matvec (see radau.py linear_mode for rationale).
+    # solve is a fused matvec (see radau.py linear_mode for rationale);
+    # "banded" uses block-tridiagonal cyclic reduction (requires ``band``).
     linear_mode: str = "auto"
+    # (ml, mu) Jacobian bandwidths (from jac_sparsity).
+    band: Any = None
+    # "mixed": f32 factor/solves with f64 state/residuals (see radau.py).
+    newton_precision: str = "full"
 
 
 # n at or below which "auto" uses the explicit-inverse linear path.
 INV_AUTO_N = 8
 
 
-def _use_inverse(p) -> bool:
-    if p.linear_mode == "inverse":
-        return True
-    if p.linear_mode == "lu":
-        return False
-    return p.n <= INV_AUTO_N
+def _backend_kind(p) -> str:
+    if p.linear_mode in ("inverse", "lu"):
+        return p.linear_mode
+    if p.linear_mode == "banded":
+        if p.band is None:
+            raise ValueError("linear_mode='banded' requires band=(ml, mu)")
+        return "banded"
+    if p.n <= INV_AUTO_N:
+        return "inverse"
+    if p.band is not None and 3 * (p.band[0] + p.band[1] + 1) <= p.n:
+        return "banded"
+    return "lu"
+
+
+def make_linear_backend(p):
+    """(factor, solve, zero_lin) for the iteration matrix I - cJ."""
+    n = p.n
+    kind = _backend_kind(p)
+    if kind == "inverse":
+        def factor(m):
+            ainv, s = inv(m)
+            return (ainv,), s
+
+        def solve(lin, b):
+            return matvec(lin[0], b)
+
+        def zero_lin(dtype):
+            return (jnp.zeros((n, n), dtype),)
+    elif kind == "banded":
+        bsz = max(p.band[0], p.band[1], 1)
+
+        def factor(m):
+            fac, s = btd_factor(*blocks_from_dense(m, bsz))
+            return (fac,), s
+
+        def solve(lin, b):
+            return btd_solve(lin[0], pad_rhs(b, bsz)).reshape(-1)[:n]
+
+        def zero_lin(dtype):
+            return factor(jnp.eye(n, dtype=dtype))[0]
+    else:
+        def factor(m):
+            lu_piv, s = lu_factor(m)
+            return (lu_piv,), s
+
+        def solve(lin, b):
+            return lu_solve(lin[0], b)
+
+        def zero_lin(dtype):
+            return ((jnp.zeros((n, n), dtype), jnp.eye(n, dtype=dtype)),)
+
+    if p.newton_precision == "mixed":
+        f32 = jnp.float32
+        base_factor, base_solve, base_zero = factor, solve, zero_lin
+
+        def factor(m):  # noqa: F811
+            return base_factor(m.astype(f32))
+
+        def solve(lin, b):  # noqa: F811
+            return base_solve(lin, b.astype(f32)).astype(b.dtype)
+
+        def zero_lin(dtype):  # noqa: F811
+            return base_zero(f32)
+    elif p.newton_precision != "full":
+        raise ValueError("newton_precision must be 'full' or 'mixed'")
+    return factor, solve, zero_lin
 
 
 def _i32(v):
@@ -151,10 +218,7 @@ def make_bdf_init(jac_fn, p: BDFParams):
         D = jnp.zeros((MAX_ORDER + 3, n), dtype)
         D = D.at[0].set(y0)
         D = D.at[1].set(f0 * h_abs * posneg)
-        if _use_inverse(p):
-            lin0 = (jnp.zeros((n, n), dtype),)
-        else:
-            lin0 = ((jnp.zeros((n, n), dtype), jnp.eye(n, dtype=dtype)),)
+        lin0 = make_linear_backend(p)[2](dtype)
         ms = BDFState(
             h_abs=h_abs, posneg=posneg, D=D, order=_i32(1), n_equal=_i32(0),
             jac=jac, lin=lin0,
@@ -167,20 +231,7 @@ def make_bdf_init(jac_fn, p: BDFParams):
 
 def make_bdf_attempt(jac_fn, p: BDFParams):
     n = p.n
-    if _use_inverse(p):
-        def factor(m):
-            ainv, s = inv(m)
-            return (ainv,), s
-
-        def solve(lin, b):
-            return matvec(lin[0], b)
-    else:
-        def factor(m):
-            lu_piv, s = lu_factor(m)
-            return (lu_piv,), s
-
-        def solve(lin, b):
-            return lu_solve(lin[0], b)
+    factor, solve, _ = make_linear_backend(p)
     gamma = tab.BDF_GAMMA
     alpha = tab.BDF_ALPHA
     error_const = tab.BDF_ERROR_CONST

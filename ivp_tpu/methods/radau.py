@@ -28,6 +28,9 @@ from jax import lax
 from .. import tableaus as tab
 from ..types import Status
 from ..core.common import safe_pow
+from ..core.block_tridiag import (blocks_from_dense, btd_factor,
+                                  btd_factor_complex, btd_solve,
+                                  btd_solve_complex, pad_rhs)
 from ..core.linalg import (inv, inv_complex, lu_factor, lu_factor_complex,
                            lu_solve, lu_solve_complex, matvec,
                            solve_complex_inv)
@@ -77,8 +80,17 @@ class RadauParams:
     # (each Newton solve becomes a fused matvec — the stiff-ensemble hot-loop
     # optimization; under vmap the cond-gated LU reuse of the reference
     # radau.rs:761-776 cannot skip work, so the decomposition must be cheap
-    # instead), "lu" forces factored substitution, "inverse" forces inverses.
+    # instead), "lu" forces factored substitution, "inverse" forces inverses,
+    # "banded" forces block-tridiagonal cyclic reduction (requires ``band``).
     linear_mode: str = "auto"
+    # (ml, mu) Jacobian bandwidths (from jac_sparsity); enables the banded
+    # backend for large narrow-band systems (reference matrix/base.rs:6-16).
+    band: Optional[Tuple[int, int]] = None
+    # "mixed": factor + linear solves in float32 while the state, RHS and
+    # Newton residuals stay float64 — an inexact Newton whose ~1e-7-relative
+    # solves are far below the Newton tolerance (max(10u/tol, sqrt(tol)),
+    # radau.rs:199-205), halving the linear-algebra HBM traffic on TPU.
+    newton_precision: str = "full"
 
 
 # n at or below which "auto" uses the explicit-inverse linear path.
@@ -114,25 +126,116 @@ def _dae_partition(p: RadauParams, n: int):
     return n1, n2, n3
 
 
-def _use_inverse(p: RadauParams) -> bool:
-    if p.linear_mode == "inverse":
-        return True
-    if p.linear_mode == "lu":
-        return False
-    return p.n <= INV_AUTO_N
+def _backend_kind(p: RadauParams) -> str:
+    if p.linear_mode in ("inverse", "lu"):
+        return p.linear_mode
+    if p.linear_mode == "banded":
+        if p.band is None:
+            raise ValueError("linear_mode='banded' requires band=(ml, mu)")
+        return "banded"
+    # auto: small systems invert outright; large narrow-band systems (no
+    # mass matrix — its band is not tracked) use cyclic reduction; else LU.
+    if p.n <= INV_AUTO_N:
+        return "inverse"
+    if (p.band is not None and not p.has_mass
+            and 3 * (p.band[0] + p.band[1] + 1) <= p.n):
+        return "banded"
+    return "lu"
 
 
-def _zero_lin(n, dtype, use_inv):
-    if use_inv:
-        return (jnp.zeros((n, n), dtype),
-                jnp.zeros((n, n), dtype), jnp.zeros((n, n), dtype))
-    return ((jnp.zeros((n, n), dtype), jnp.eye(n, dtype=dtype)),
-            (jnp.zeros((2 * n, 2 * n), dtype), jnp.eye(2 * n, dtype=dtype)))
+def make_linear_backend(p: RadauParams):
+    """Returns (factor, solve1, solve2, zero_lin) for the E1/E2 systems.
+
+    factor(e1, e2r, e2i) -> (lin, singular); solve1(lin, b) solves E1 x = b;
+    solve2(lin, br, bi) solves E2 (xr + i xi) = br + i bi; zero_lin(dtype)
+    builds a structure-matching placeholder for the initial engine state.
+    """
+    n = p.n
+    kind = _backend_kind(p)
+    if kind == "inverse":
+        def factor(e1, e2r, e2i):
+            inv1, s1 = inv(e1)
+            binv, s2 = inv_complex(e2r, e2i)
+            return (inv1, binv[0], binv[1]), s1 | s2
+
+        def solve1(lin, b):
+            return matvec(lin[0], b)
+
+        def solve2(lin, br_, bi_):
+            return solve_complex_inv((lin[1], lin[2]), br_, bi_)
+
+        def zero_lin(dtype):
+            z = jnp.zeros((n, n), dtype)
+            return (z, z, z)
+    elif kind == "banded":
+        bsz = max(p.band[0], p.band[1], 1)
+
+        def _pad(v):
+            return pad_rhs(v, bsz)
+
+        def _unpad(x):
+            return x.reshape(-1)[:n]
+
+        def factor(e1, e2r, e2i):
+            fac1, s1 = btd_factor(*blocks_from_dense(e1, bsz))
+            Dr, Lr, Ur = blocks_from_dense(e2r, bsz)
+            Di, Li, Ui = blocks_from_dense(e2i, bsz)
+            fac2, s2 = btd_factor_complex((Dr, Di), (Lr, Li), (Ur, Ui))
+            return (fac1, fac2), s1 | s2
+
+        def solve1(lin, b):
+            return _unpad(btd_solve(lin[0], _pad(b)))
+
+        def solve2(lin, br_, bi_):
+            xr, xi = btd_solve_complex(lin[1], _pad(br_), _pad(bi_))
+            return _unpad(xr), _unpad(xi)
+
+        def zero_lin(dtype):
+            eye = jnp.eye(n, dtype=dtype)
+            return factor(eye, eye, jnp.zeros((n, n), dtype))[0]
+    else:
+        def factor(e1, e2r, e2i):
+            lu1_piv, s1 = lu_factor(e1)
+            lu2_piv, s2 = lu_factor_complex(e2r, e2i)
+            return (lu1_piv, lu2_piv), s1 | s2
+
+        def solve1(lin, b):
+            return lu_solve(lin[0], b)
+
+        def solve2(lin, br_, bi_):
+            return lu_solve_complex(lin[1], br_, bi_)
+
+        def zero_lin(dtype):
+            return ((jnp.zeros((n, n), dtype), jnp.eye(n, dtype=dtype)),
+                    (jnp.zeros((2 * n, 2 * n), dtype),
+                     jnp.eye(2 * n, dtype=dtype)))
+
+    if p.newton_precision == "mixed":
+        f32 = jnp.float32
+        base_factor, base_s1, base_s2, base_zero = (factor, solve1, solve2,
+                                                    zero_lin)
+
+        def factor(e1, e2r, e2i):  # noqa: F811
+            return base_factor(e1.astype(f32), e2r.astype(f32),
+                               e2i.astype(f32))
+
+        def solve1(lin, b):  # noqa: F811
+            return base_s1(lin, b.astype(f32)).astype(b.dtype)
+
+        def solve2(lin, br_, bi_):  # noqa: F811
+            xr, xi = base_s2(lin, br_.astype(f32), bi_.astype(f32))
+            return xr.astype(br_.dtype), xi.astype(bi_.dtype)
+
+        def zero_lin(dtype):  # noqa: F811
+            return base_zero(f32)
+    elif p.newton_precision != "full":
+        raise ValueError("newton_precision must be 'full' or 'mixed'")
+    return factor, solve1, solve2, zero_lin
 
 
 def make_radau_init(jac_fn, mass_mat, p: RadauParams):
     n = p.n
-    use_inv = _use_inverse(p)
+    _, _, _, zero_lin = make_linear_backend(p)
 
     def init(rhs, t0, y0, first_step, ra: RunArgs, p_):
         dtype = y0.dtype
@@ -156,7 +259,7 @@ def make_radau_init(jac_fn, mass_mat, p: RadauParams):
             call_jac=jnp.ones((), bool), call_decomp=jnp.ones((), bool),
             singular=_i32(0),
             jac=jnp.zeros((n, n), dtype),
-            lin=_zero_lin(n, dtype, use_inv),
+            lin=zero_lin(dtype),
         )
         return ms, 1
 
@@ -165,30 +268,7 @@ def make_radau_init(jac_fn, mass_mat, p: RadauParams):
 
 def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
     n = p.n
-    use_inv = _use_inverse(p)
-
-    if use_inv:
-        def factor(e1, e2r, e2i):
-            inv1, s1 = inv(e1)
-            binv, s2 = inv_complex(e2r, e2i)
-            return (inv1, binv[0], binv[1]), s1 | s2
-
-        def solve1(lin, b):
-            return matvec(lin[0], b)
-
-        def solve2(lin, br_, bi_):
-            return solve_complex_inv((lin[1], lin[2]), br_, bi_)
-    else:
-        def factor(e1, e2r, e2i):
-            lu1_piv, s1 = lu_factor(e1)
-            lu2_piv, s2 = lu_factor_complex(e2r, e2i)
-            return (lu1_piv, lu2_piv), s1 | s2
-
-        def solve1(lin, b):
-            return lu_solve(lin[0], b)
-
-        def solve2(lin, br_, bi_):
-            return lu_solve_complex(lin[1], br_, bi_)
+    factor, solve1, solve2, _ = make_linear_backend(p)
     n1, n2, n3 = _dae_partition(p, n)
     T = tab.RADAU_T
     TI = tab.RADAU_TI

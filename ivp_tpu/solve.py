@@ -106,6 +106,47 @@ class OdeSolution:
         ys = np.asarray(ys).T  # (n, m)
         return ys[:, 0] if scalar else ys
 
+    # -- strict (range-checked) variants of the Rust solution tier
+    #    (reference src/solve/solution.rs:25-71 sol/sol_many/sol_span;
+    #    src/solve/cont.rs:79-117 errors on out-of-range evaluation) --
+
+    def t_span(self):
+        """(t_min, t_max) covered by the interpolants (cont.rs:67-76)."""
+        return self.t_min, self.t_max
+
+    def _check_range(self, ts):
+        eps = 1e-12 * max(1.0, abs(self.t_min), abs(self.t_max))
+        bad = (ts < self.t_min - eps) | (ts > self.t_max + eps)
+        if np.any(bad):
+            t_bad = np.atleast_1d(ts)[np.atleast_1d(bad)][0]
+            raise ValueError(
+                f"t={t_bad} outside the solution span "
+                f"[{self.t_min}, {self.t_max}] (strict evaluation; use the "
+                f"callable form for SciPy-style extrapolation)")
+
+    def sol(self, t):
+        """Strict scalar evaluation: raises outside [t_min, t_max]
+        (reference solution.rs:25-38)."""
+        t_arr = np.asarray(t, dtype=float)
+        self._check_range(t_arr)
+        return self(t)
+
+    def sol_many(self, ts):
+        """Strict vectorized evaluation (reference solution.rs:40-55)."""
+        ts = np.asarray(ts, dtype=float)
+        self._check_range(ts)
+        return self(ts)
+
+    def sol_span(self, t_start, t_end, m):
+        """Evaluate on ``m`` evenly spaced points of [t_start, t_end], all of
+        which must lie inside the covered span (reference solution.rs:57-71).
+
+        Returns (ts (m,), ys (n, m)).
+        """
+        ts = np.linspace(float(t_start), float(t_end), int(m))
+        self._check_range(ts)
+        return ts, self(ts)
+
 
 # =============================================================================
 # Compiled-solver cache
@@ -236,11 +277,21 @@ def solve_ivp(
         tuple(sorted((solver_options or {}).items())),
     )
 
+    # Narrow-band Jacobian sparsity enables the block-tridiagonal cyclic
+    # reduction backend in the stiff engines (reference banded storage,
+    # matrix/base.rs:6-16; here log-depth CR instead of a sequential
+    # banded LU — core/block_tridiag.py).
+    extra_opts = {}
+    if (jac_sparsity is not None and method in ("RADAU", "BDF")
+            and "band" not in (solver_options or {})):
+        from .core.block_tridiag import band_of_pattern
+        extra_opts["band"] = band_of_pattern(jac_sparsity)
+
     def builder():
         engine, p = get_engine(
             method, need_cont=need_cont, jac_fn=jac_fn, const_jac=const_jac,
             mass=mass, nind=(nind1, nind2, nind3), n=n,
-            **(solver_options or {}),
+            **extra_opts, **(solver_options or {}),
         )
         cfg = DriverConfig(rec_cap=chunk_steps, record_cont=need_cont,
                            ncoeff=engine.ncoeff, event_spec=ev_spec)

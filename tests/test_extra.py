@@ -145,3 +145,26 @@ def test_f32_stiff_vdp1000_radau():
     np.testing.assert_allclose(np.asarray(r32.y[:, -1]),
                                np.array([-1.51059381, 1.17834991e-03]),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_strict_dense_evaluation():
+    """Rust-tier strict evaluation (reference solution.rs:25-71,
+    cont.rs:79-117): sol/sol_many/sol_span range-check, while the SciPy-style
+    callable extrapolates."""
+    r = solve_ivp(lambda t, y: -y, (0.0, 2.0), [1.0], method="RK45",
+                  dense_output=True)
+    s = r.sol
+    assert s.t_span() == (s.t_min, s.t_max)
+    np.testing.assert_allclose(s.sol(1.0), np.exp(-1.0), rtol=1e-3)
+    ts, ys = s.sol_span(0.5, 1.5, 5)
+    np.testing.assert_allclose(ys[0], np.exp(-ts), rtol=1e-3)
+    np.testing.assert_allclose(s.sol_many([0.0, 2.0])[0],
+                               [1.0, np.exp(-2.0)], rtol=1e-3)
+    with pytest.raises(ValueError):
+        s.sol(2.5)
+    with pytest.raises(ValueError):
+        s.sol_many([0.5, -0.1])
+    with pytest.raises(ValueError):
+        s.sol_span(1.0, 3.0, 4)
+    # the SciPy-style callable still extrapolates (solution.rs:109-139)
+    assert np.isfinite(s(2.5)[0])

@@ -149,3 +149,27 @@ def test_linear_mode_equivalence(method):
     np.testing.assert_allclose(np.asarray(ri.y[:, -1]),
                                np.asarray(rl.y[:, -1]), rtol=1e-6, atol=1e-12)
     assert abs(int(ri.nstep) - int(rl.nstep)) <= 2
+
+
+@pytest.mark.parametrize("method", ["Radau", "BDF"])
+def test_mixed_precision_newton(method):
+    """newton_precision='mixed' (f32 factor/solves, f64 state/residuals)
+    matches the full-precision result far inside the solver tolerance and
+    takes the same number of steps (inexact-Newton solves ~1e-7 relative,
+    orders below the Newton tolerance)."""
+    from ivp_tpu import solve_ivp
+
+    def rober(t, y):
+        return jnp.array([-0.04 * y[0] + 1e4 * y[1] * y[2],
+                          0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+                          3e7 * y[1] ** 2])
+
+    rf = solve_ivp(rober, (0.0, 100.0), [1.0, 0.0, 0.0], method=method,
+                   rtol=1e-6, atol=1e-8)
+    rm = solve_ivp(rober, (0.0, 100.0), [1.0, 0.0, 0.0], method=method,
+                   rtol=1e-6, atol=1e-8,
+                   solver_options={"newton_precision": "mixed"})
+    assert rm.success
+    np.testing.assert_allclose(np.asarray(rm.y[:, -1]),
+                               np.asarray(rf.y[:, -1]), rtol=1e-7)
+    assert abs(int(rm.nstep) - int(rf.nstep)) <= 2
