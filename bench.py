@@ -64,7 +64,8 @@ def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
 
 
 def measure_stiff(method="Radau", B=32768, t0=0.0, tf=3000.0, rtol=1e-4,
-                  atol=1e-6, dtype=jnp.float64):
+                  atol=1e-6, dtype=jnp.float64, solver_options=None,
+                  label=""):
     """Secondary metric: stiff Van der Pol mu=1000 (chunked resumable solve).
 
     Config matches the reference harness's stiff benchmark (reference
@@ -77,7 +78,8 @@ def measure_stiff(method="Radau", B=32768, t0=0.0, tf=3000.0, rtol=1e-4,
         return jnp.array([y[1], 1000.0 * (1.0 - y[0] ** 2) * y[1] - y[0]])
 
     start, resume, extract = build_resumable_solver(
-        vdp_stiff, method, n=2, chunk_steps=4096, dtype=dtype)
+        vdp_stiff, method, n=2, chunk_steps=4096, dtype=dtype,
+        solver_options=solver_options)
     rng = np.random.default_rng(0)
     y0 = np.array([2.0, 0.0]) + 0.02 * rng.standard_normal((B, 2))
 
@@ -94,7 +96,7 @@ def measure_stiff(method="Radau", B=32768, t0=0.0, tf=3000.0, rtol=1e-4,
     res = run(y0 + 1e-9)
     dt = time.perf_counter() - start_t
     return {
-        "config": f"VdP mu=1000, t=[0,3000], {method}, rtol=1e-4, "
+        "config": f"VdP mu=1000, t=[0,3000], {method}{label}, rtol=1e-4, "
                   f"{jnp.dtype(dtype).name}, B={B}",
         "ivps_per_sec": round(B / dt, 1),
         "wall_s": round(dt, 3),
@@ -126,6 +128,8 @@ def main():
     stiff = _stiff(method="Radau")
     stiff_bdf = _stiff(method="BDF")
     stiff_f32 = _stiff(method="Radau", dtype=jnp.float32)
+    stiff_mixed = _stiff(method="Radau", label="/mixed-precision",
+                         solver_options={"newton_precision": "mixed"})
     value = f64["ivps_per_sec"]
     out = {
         "metric": "vdp_ivps_per_sec_per_chip_f64",
@@ -139,6 +143,7 @@ def main():
             "stiff_radau_f64": stiff,
             "stiff_bdf_f64": stiff_bdf,
             "stiff_radau_f32": stiff_f32,
+            "stiff_radau_f64_mixed_newton": stiff_mixed,
             "device": str(jax.devices()[0]),
             "config": "VdP mu=1, t=[0,100], DOPRI5, rtol=1e-6, atol=1e-8",
         },

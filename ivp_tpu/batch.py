@@ -70,7 +70,8 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                           jac=None, max_steps: int = 100_000,
                           first_step: Optional[float] = None,
                           events=None, event_capacity: int = 16,
-                          unroll: int = 4, t_eval=None) -> Callable:
+                          unroll: int = 4, t_eval=None,
+                          solver_options: Optional[dict] = None) -> Callable:
     """Return a jittable ``solver(y0_batch, t0, tf, rtol, atol) -> EnsembleResult``.
 
     The returned function is pure (jit/vmap/shard_map composable); y0_batch has
@@ -122,7 +123,7 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         sample_cap = int(sample_grid.shape[-1])
 
     engine, p = get_engine(method, need_cont=bool(n_ev) or sample_cap > 0,
-                           jac_fn=jac_fn, n=n)
+                           jac_fn=jac_fn, n=n, **(solver_options or {}))
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
                        event_spec=ev_spec, unroll=max(1, unroll),
                        sample_cap=sample_cap)
@@ -169,7 +170,7 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                            max_steps: int = 100_000, events=None,
                            event_capacity: int = 16,
                            first_step: Optional[float] = None,
-                           t_eval=None):
+                           t_eval=None, solver_options: Optional[dict] = None):
     """Checkpointable ensemble integration (SURVEY.md §5 checkpoint/resume:
     the while-loop carry IS the checkpoint).
 
@@ -223,7 +224,7 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         sample_cap = int(sample_grid.shape[-1])
 
     engine, p = get_engine(method_c, need_cont=bool(n_ev) or sample_cap > 0,
-                           jac_fn=jac_fn, n=n)
+                           jac_fn=jac_fn, n=n, **(solver_options or {}))
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
                        event_spec=ev_spec, sample_cap=sample_cap)
     init_carry, _, _, run_bounded = make_driver(engine, p, cfg, rhs, events_fn)
@@ -286,7 +287,8 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                        atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
                        first_step=None, dtype=None, events=None,
                        event_capacity: int = 16, t_eval=None,
-                       chunk_steps: int = 16384) -> EnsembleResult:
+                       chunk_steps: int = 16384,
+                       solver_options: Optional[dict] = None) -> EnsembleResult:
     """Batched solve to final state, executed as a host loop of bounded device
     chunks (no single device call runs unboundedly — robust against runtime
     watchdogs on pathological problems; compiled solver cached)."""
@@ -299,12 +301,13 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
            chunk_steps,
            (np.asarray(t_eval, float).shape,
             np.asarray(t_eval, float).tobytes())
-           if t_eval is not None else None)
+           if t_eval is not None else None,
+           tuple(sorted((solver_options or {}).items())))
     entry = _ENSEMBLE_CACHE.get_or_build(key, lambda: build_resumable_solver(
         fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
         max_steps=max_steps, first_step=first_step, events=events,
         event_capacity=event_capacity, chunk_steps=chunk_steps,
-        t_eval=t_eval))
+        t_eval=t_eval, solver_options=solver_options))
     start, resume, extract = entry
     t0, tf = float(t_span[0]), float(t_span[1])
     carry, ra = start(y0_batch, t0, tf, rtol, atol)
