@@ -38,5 +38,30 @@ def main():
         y = [0.0, -RESTITUTION * v_impact]
 
 
+def main_in_device():
+    """The same physics as an ENSEMBLE, with every bounce handled inside the
+    compiled loop: the event's ``restart`` attribute is the reference's
+    ModifiedSolution control flag (src/solout.rs:73-78) fused on-device —
+    thousands of balls bounce with zero host round-trips."""
+    import numpy as np
+    import jax
+    from ivp_tpu.batch import build_ensemble_solver
+
+    ground.restart = lambda t, y: jnp.array([0.0, -RESTITUTION * y[1]])
+    B = 1024
+    heights = np.linspace(2.0, 20.0, B)
+    y0 = np.stack([heights, np.zeros(B)], axis=1)
+    solver = jax.jit(build_ensemble_solver(
+        ball, "RK45", n=2, events=[ground], event_capacity=16,
+        max_restarts=8))
+    res = solver(y0, 0.0, 15.0, 1e-9, 1e-9)
+    nb = np.asarray(res.n_events)[:, 0]
+    print(f"\nin-device ensemble: {B} balls, "
+          f"bounces per ball {nb.min()}..{nb.max()}, "
+          f"restarts {np.asarray(res.n_restarts).min()}.."
+          f"{np.asarray(res.n_restarts).max()}")
+
+
 if __name__ == "__main__":
     main()
+    main_in_device()

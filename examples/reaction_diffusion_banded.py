@@ -1,0 +1,61 @@
+"""Banded stiff system: 1-D reaction-diffusion solved with the
+cyclic-reduction banded backend and mixed-precision Newton.
+
+A method-of-lines discretization of
+
+    u_t = d * u_xx + u * (1 - u)        (Fisher-KPP front)
+
+on x in [0, 1] with N interior points has a tridiagonal Jacobian.  Passing
+the banded ``jac_sparsity`` pattern makes `solve_ivp` auto-select the
+block-tridiagonal cyclic-reduction linear backend (core/block_tridiag.py):
+log-depth batched block factorizations instead of dense O(n^3) LU — at
+n=400 the banded path is ~20x faster per step than dense (docs/STATUS.md).
+
+`solver_options={"newton_precision": "mixed"}` additionally runs the
+factorization and Newton linear solves in float32 under float64 state.
+"""
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ivp_tpu import solve_ivp
+
+N = 256
+D_COEF = 1e-3
+
+
+def rhs(t, u):
+    d = D_COEF * (N + 1) ** 2
+    u_ext = jnp.concatenate([u[:1] * 0.0 + 1.0, u, u[-1:] * 0.0])  # u(0)=1, u(1)=0
+    lap = u_ext[:-2] - 2.0 * u_ext[1:-1] + u_ext[2:]
+    return d * lap + u * (1.0 - u)
+
+
+def tridiag_pattern(n):
+    from scipy.sparse import diags
+    return diags([1, 1, 1], [-1, 0, 1], shape=(n, n))
+
+
+def main():
+    x = np.linspace(0, 1, N + 2)[1:-1]
+    u0 = np.exp(-200.0 * x ** 2)  # front near the left boundary
+
+    for opts, label in ((None, "banded f64"),
+                        ({"newton_precision": "mixed"}, "banded mixed"),
+                        ({"linear_mode": "lu"}, "dense LU f64")):
+        res = solve_ivp(rhs, (0.0, 30.0), u0, method="Radau", rtol=1e-6,
+                        atol=1e-9, jac_sparsity=tridiag_pattern(N),
+                        solver_options=opts)
+        t0 = time.perf_counter()
+        res = solve_ivp(rhs, (0.0, 30.00001), u0, method="Radau", rtol=1e-6,
+                        atol=1e-9, jac_sparsity=tridiag_pattern(N),
+                        solver_options=opts)
+        dt = time.perf_counter() - t0
+        front = x[np.argmin(np.abs(np.asarray(res.y[:, -1]) - 0.5))]
+        print(f"{label:14s}: success={res.success} nstep={res.nstep} "
+              f"nlu={res.nlu} warm_wall={dt:.2f}s front_at_x={front:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,7 @@ class EnsembleResult(NamedTuple):
     n_events: Any = None  # (B, E) int32 per-event occurrence counts
     y_samples: Any = None  # (B, m, n) states at the shared t_eval grid
     n_samples: Any = None  # (B,) int32 emitted sample counts
+    n_restarts: Any = None  # (B,) int32 in-device event restarts performed
 
 
 _ENSEMBLE_CACHE = LRUCache(maxsize=64)
@@ -71,7 +72,9 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                           first_step: Optional[float] = None,
                           events=None, event_capacity: int = 16,
                           unroll: int = 4, t_eval=None,
-                          solver_options: Optional[dict] = None) -> Callable:
+                          solver_options: Optional[dict] = None,
+                          args_batched: bool = False,
+                          max_restarts: int = 0) -> Callable:
     """Return a jittable ``solver(y0_batch, t0, tf, rtol, atol) -> EnsembleResult``.
 
     The returned function is pure (jit/vmap/shard_map composable); y0_batch has
@@ -81,26 +84,25 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     ``direction`` attributes); terminal events stop individual trajectories
     and the per-lane event times/states are returned in fixed-capacity
     buffers.
+
+    ``args_batched=True``: every element of ``args`` carries a leading (B,)
+    batch axis and is vmapped per-lane — parameter-sweep ensembles where each
+    trajectory integrates a *different* vector field (RHS, jac and events all
+    receive the lane's slice).
+
+    ``max_restarts``: in-device event restarts.  An event callable with a
+    ``restart`` attribute (``y_new = e.restart(t, y)``) that fires terminally
+    restarts its lane from the event point with the modified state, up to
+    ``max_restarts`` times per lane — the reference's ModifiedSolution
+    control flag (src/solout.rs:73-78) fused into the compiled loop (e.g.
+    bouncing-ball ensembles with zero host round-trips).
     """
     dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
     method = canonical_method(method)
 
-    def rhs(t, y):
-        return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
-
-    jac_fn = None
-    if method in ("RADAU", "BDF"):
-        if jac is not None and callable(jac):
-            def jac_fn(t, y):
-                return jnp.asarray(jac(t, y, *args), dtype).reshape(n, n)
-        else:
-            def jac_fn(t, y):
-                return jax.jacfwd(lambda yy: rhs(t, yy))(y)
-
     ev_list = list(events) if events else []
     n_ev = len(ev_list)
     ev_spec = None
-    events_fn = None
     if n_ev:
         directions = tuple(int(np.sign(getattr(e, "direction", 0) or 0))
                            for e in ev_list)
@@ -108,10 +110,6 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
             1 if getattr(e, "terminal", False) is True
             else int(getattr(e, "terminal", 0) or 0) for e in ev_list)
         ev_spec = EventSpec(n_ev, directions, terminal_counts, event_capacity)
-
-        def events_fn(t, y):
-            return jnp.stack([jnp.asarray(e(t, y, *args), dtype).reshape(())
-                              for e in ev_list])
 
     sample_grid = None
     sample_cap = 0
@@ -122,14 +120,46 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
             raise ValueError("t_eval must be 1-D (shared) or 2-D (per-lane)")
         sample_cap = int(sample_grid.shape[-1])
 
-    engine, p = get_engine(method, need_cont=bool(n_ev) or sample_cap > 0,
-                           jac_fn=jac_fn, n=n, **(solver_options or {}))
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
                        event_spec=ev_spec, unroll=max(1, unroll),
-                       sample_cap=sample_cap)
-    init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs, events_fn)
+                       sample_cap=sample_cap, max_restarts=max_restarts)
 
-    def solve_one(y0, t0, tf, rtol, atol, t_grid):
+    def build_fns(args_):
+        """Engine + driver closures for one lane's args (traced per-lane
+        when args_batched; once otherwise)."""
+
+        def rhs(t, y):
+            return jnp.asarray(fun(t, y, *args_), dtype).reshape(n)
+
+        jac_fn = None
+        if method in ("RADAU", "BDF"):
+            if jac is not None and callable(jac):
+                def jac_fn(t, y):
+                    return jnp.asarray(jac(t, y, *args_), dtype).reshape(n, n)
+            else:
+                def jac_fn(t, y):
+                    return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+
+        events_fn = None
+        if n_ev:
+            def events_fn(t, y):
+                return jnp.stack(
+                    [jnp.asarray(e(t, y, *args_), dtype).reshape(())
+                     for e in ev_list])
+
+        restart_fns = [getattr(e, "restart", None) for e in ev_list]
+        engine, p = get_engine(method, need_cont=bool(n_ev) or sample_cap > 0,
+                               jac_fn=jac_fn, n=n, **(solver_options or {}))
+        init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs,
+                                                  events_fn, restart_fns)
+        return init_carry, run_chunk
+
+    if not args_batched:
+        shared_fns = build_fns(tuple(args))
+
+    def solve_one(y0, t0, tf, rtol, atol, t_grid, lane_args):
+        init_carry, run_chunk = (build_fns(lane_args) if args_batched
+                                 else shared_fns)
         ra = run_args(tf, jnp.broadcast_to(rtol, (n,)),
                       jnp.broadcast_to(atol, (n,)),
                       jnp.abs(tf - t0), 0.0, max_steps, dtype,
@@ -143,6 +173,8 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                       n_events=c.ev.n_rec)
         if sample_cap:
             kw.update(y_samples=c.sample_y, n_samples=c.s_cursor)
+        if max_restarts:
+            kw.update(n_restarts=c.n_restarts)
         return EnsembleResult(t=c.t, y=c.y, status=c.status, nfev=c.nfev,
                               nstep=c.nstep, naccpt=c.naccpt, nrejct=c.nrejct,
                               **kw)
@@ -159,8 +191,15 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         else:
             grid = jnp.asarray(sample_grid, dtype)
             ax_g = 0 if grid.ndim == 2 else None
-        return jax.vmap(solve_one, in_axes=(0, 0, 0, ax_r, ax_a, ax_g))(
-            y0_batch, t0_b, tf_b, rtol_v, atol_v, grid)
+        if args_batched:
+            lane_args = tuple(jnp.asarray(a) for a in args)
+            ax_args = tuple(0 for _ in lane_args)
+        else:
+            lane_args = ()
+            ax_args = ()
+        return jax.vmap(solve_one,
+                        in_axes=(0, 0, 0, ax_r, ax_a, ax_g, ax_args))(
+            y0_batch, t0_b, tf_b, rtol_v, atol_v, grid, lane_args)
 
     return solver
 
@@ -170,7 +209,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                            max_steps: int = 100_000, events=None,
                            event_capacity: int = 16,
                            first_step: Optional[float] = None,
-                           t_eval=None, solver_options: Optional[dict] = None):
+                           t_eval=None, solver_options: Optional[dict] = None,
+                           max_restarts: int = 0):
     """Checkpointable ensemble integration (SURVEY.md §5 checkpoint/resume:
     the while-loop carry IS the checkpoint).
 
@@ -226,8 +266,11 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     engine, p = get_engine(method_c, need_cont=bool(n_ev) or sample_cap > 0,
                            jac_fn=jac_fn, n=n, **(solver_options or {}))
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
-                       event_spec=ev_spec, sample_cap=sample_cap)
-    init_carry, _, _, run_bounded = make_driver(engine, p, cfg, rhs, events_fn)
+                       event_spec=ev_spec, sample_cap=sample_cap,
+                       max_restarts=max_restarts)
+    restart_fns = [getattr(e, "restart", None) for e in ev_list]
+    init_carry, _, _, run_bounded = make_driver(engine, p, cfg, rhs,
+                                                events_fn, restart_fns)
 
     def _ra_axes(ra: RunArgs) -> RunArgs:
         """vmap axes matching which RunArgs fields are per-lane (batched
@@ -275,6 +318,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                       n_events=carry.ev.n_rec)
         if sample_cap:
             kw.update(y_samples=carry.sample_y, n_samples=carry.s_cursor)
+        if max_restarts:
+            kw.update(n_restarts=carry.n_restarts)
         return EnsembleResult(t=carry.t, y=carry.y, status=carry.status,
                               nfev=carry.nfev, nstep=carry.nstep,
                               naccpt=carry.naccpt, nrejct=carry.nrejct,
@@ -288,7 +333,8 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                        first_step=None, dtype=None, events=None,
                        event_capacity: int = 16, t_eval=None,
                        chunk_steps: int = 16384,
-                       solver_options: Optional[dict] = None) -> EnsembleResult:
+                       solver_options: Optional[dict] = None,
+                       max_restarts: int = 0) -> EnsembleResult:
     """Batched solve to final state, executed as a host loop of bounded device
     chunks (no single device call runs unboundedly — robust against runtime
     watchdogs on pathological problems; compiled solver cached)."""
@@ -302,12 +348,13 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
            (np.asarray(t_eval, float).shape,
             np.asarray(t_eval, float).tobytes())
            if t_eval is not None else None,
-           tuple(sorted((solver_options or {}).items())))
+           tuple(sorted((solver_options or {}).items())), max_restarts)
     entry = _ENSEMBLE_CACHE.get_or_build(key, lambda: build_resumable_solver(
         fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
         max_steps=max_steps, first_step=first_step, events=events,
         event_capacity=event_capacity, chunk_steps=chunk_steps,
-        t_eval=t_eval, solver_options=solver_options))
+        t_eval=t_eval, solver_options=solver_options,
+        max_restarts=max_restarts))
     start, resume, extract = entry
     t0, tf = float(t_span[0]), float(t_span[1])
     carry, ra = start(y0_batch, t0, tf, rtol, atol)

@@ -38,6 +38,13 @@ class DriverConfig:
     unroll: int = 1            # step attempts per while iteration (lean mode
     #                            only: requires rec_cap == 0). Amortizes the
     #                            loop condition's cross-lane reduction.
+    max_restarts: int = 0      # in-device event-restart budget (0 = off):
+    #                            a terminal event with a restart function
+    #                            re-launches the lane from the event point
+    #                            with the modified state — the reference's
+    #                            SolOut ControlFlag::ModifiedSolution
+    #                            (src/solout.rs:73-78) fused into the
+    #                            compiled loop, per-lane, no host round-trip.
 
 
 class Carry(NamedTuple):
@@ -61,18 +68,28 @@ class Carry(NamedTuple):
     ev: EvState
     s_cursor: Any  # int32 — next t_grid sample to emit
     sample_y: Any  # (sample_cap, n) in-loop interpolated samples
+    n_restarts: Any  # int32 — in-device event restarts performed
 
 
 def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
-def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
-    """Build (init_carry, run_chunk) for a given engine + static config."""
+def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
+                restart_fns=None):
+    """Build (init_carry, run_chunk) for a given engine + static config.
+
+    ``restart_fns``: optional per-event list of ``y_new = f(t, y)`` callables
+    (None entries = no restart for that event); with ``cfg.max_restarts > 0``
+    a terminal event whose entry is non-None restarts the lane in-loop.
+    """
     spec = cfg.event_spec
     has_events = spec is not None and spec.n_events > 0
     cap = cfg.rec_cap
     C = cfg.ncoeff if cfg.record_cont else 0
+    restart_fns = list(restart_fns or [])
+    has_restarts = (has_events and cfg.max_restarts > 0
+                    and any(f is not None for f in restart_fns))
 
     def init_carry(t0, y0, first_step, ra: RunArgs) -> Carry:
         dtype = y0.dtype
@@ -97,6 +114,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
             ev=ev,
             s_cursor=_i32(0),
             sample_y=jnp.zeros((cfg.sample_cap, n), dtype),
+            n_restarts=_i32(0),
         )
 
     def body(c: Carry, ra: RunArgs) -> Carry:
@@ -117,6 +135,48 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
             ev_new = c.ev
             terminal = jnp.zeros((), bool)
             t_rec, y_rec = res.t_new, res.y_new
+
+        # ---- In-device event restart (ModifiedSolution analog) ----
+        n_restarts = c.n_restarts
+        ms_next = res.ms
+        finished = res.finished
+        if has_restarts:
+            can = jnp.asarray([f is not None for f in restart_fns])
+            restartable = jnp.sum(
+                jnp.where(jnp.arange(spec.n_events) == out.i_term, can, False))
+            # No restart exactly at (or beyond) tend — the trajectory is over.
+            before_end = (out.t_term - ra.tend) * c.ms.posneg < 0.0
+            do_restart = (terminal & restartable & before_end
+                          & (c.n_restarts < cfg.max_restarts))
+            # Apply the matching event's restart map to the event state.
+            y_re = out.y_term
+            for i, rf in enumerate(restart_fns):
+                if rf is not None:
+                    y_re = jnp.where(out.i_term == i,
+                                     rf(out.t_term, out.y_term), y_re)
+            # Fresh method state from the restart point (the reference
+            # re-evaluates f after ModifiedSolution; BDF additionally needs
+            # its difference array rebuilt, so re-init covers every engine).
+            fs_re = (jnp.abs(res.h_used) if engine.name == "RK4" else None)
+            ms_re, nfev_re = engine.init(rhs, out.t_term, y_re, fs_re, ra, p)
+            ms_next = tree_where(do_restart, ms_re, res.ms)
+            # Event values restart from the modified state; per-event hit
+            # counters reset so the same terminal event can fire again;
+            # recorded occurrence buffers are kept.
+            g_re = events_fn(out.t_term, y_re)
+            ev_re = ev_new._replace(
+                g_prev=g_re, hits=jnp.zeros_like(ev_new.hits))
+            ev_new = tree_where(do_restart, ev_re, ev_new)
+            terminal = terminal & ~do_restart
+            # A restarted lane is mid-flight again even if the engine had
+            # flagged this as its final (tend-landing) step.
+            finished = finished & ~do_restart
+            t_rec = jnp.where(do_restart, out.t_term, t_rec)
+            y_rec = jnp.where(do_restart, y_re, y_rec)
+            n_restarts = n_restarts + do_restart.astype(jnp.int32)
+            res = res._replace(
+                nfev_inc=res.nfev_inc
+                + jnp.where(do_restart, nfev_re, 0).astype(jnp.int32))
 
         # ---- Record the accepted step ----
         if cap:
@@ -173,7 +233,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
         running = status == Status.RUNNING
         status = jnp.where(running & terminal, _i32(Status.USER_INTERRUPT), status)
         running = status == Status.RUNNING
-        status = jnp.where(running & res.finished, _i32(Status.SUCCESS), status)
+        status = jnp.where(running & finished, _i32(Status.SUCCESS), status)
         running = status == Status.RUNNING
         status = jnp.where(running & (nstep > ra.max_steps),
                            _i32(Status.NEED_LARGER_NMAX), status)
@@ -185,7 +245,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
         return Carry(
             t=t_rec if has_events else res.t_new,
             y=y_rec if has_events else res.y_new,
-            ms=res.ms,
+            ms=ms_next,
             status=status, done=done,
             nfev=nfev, njev=njev, nlu=nlu,
             nstep=nstep, naccpt=naccpt, nrejct=nrejct,
@@ -193,6 +253,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None):
             rec_xold=rec_xold, rec_h=rec_h, rec_cont=rec_cont,
             ev=ev_new,
             s_cursor=s_cursor, sample_y=sample_y,
+            n_restarts=n_restarts,
         )
 
     if cfg.unroll > 1 and cap:

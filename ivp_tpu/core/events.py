@@ -46,6 +46,7 @@ class EventOutcome(NamedTuple):
     terminal: Any  # bool — a terminal event fired this step
     t_term: Any    # event time of the (earliest) terminal event
     y_term: Any    # state at that event
+    i_term: Any    # int32 index of that event (undefined unless terminal)
 
 
 def init_ev_state(events_fn, t0, y0, spec: EventSpec, dtype) -> EvState:
@@ -129,4 +130,5 @@ def process_events(events_fn, interp, cont, xold, h_used,
     new_state = EvState(g_prev=g_curr, hits=hits, n_rec=jnp.minimum(n_rec, spec.cap),
                         t_buf=t_buf, y_buf=y_buf)
     return EventOutcome(state=new_state, terminal=terminal,
-                        t_term=t_term, y_term=y_term)
+                        t_term=t_term, y_term=y_term,
+                        i_term=i_term.astype(jnp.int32))

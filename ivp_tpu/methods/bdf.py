@@ -156,43 +156,70 @@ def _masked_sum(D, lo, hi):
     return jnp.sum(jnp.where(m[:, None], D, 0.0), axis=0)
 
 
-def change_d(D, order, factor):
-    """Rescale D[0..order] for a step-size change by ``factor``
-    (bdf.rs:669-713 / SciPy BDF): D <- (R(factor) @ R(1))^T D, where R is the
-    cumulative-product matrix; rows/cols beyond ``order`` are untouched.
+def _change_d_poly_coeffs():
+    """Constant coefficient matrices C_d with R(f) @ R(1) = sum_d f^d C_d.
 
-    ``order`` and ``factor`` are traced; the 6x6 transform is masked instead
-    of shape-polymorphic.
+    R(f)_{im} = prod_{k=1..i} (k-1 - f*m)/k is a degree-i polynomial in f
+    with fixed coefficients, so the runtime 6x6 transform collapses to a
+    polynomial in the step factor with precomputed constant matrices —
+    no R build or R@U product in the hot loop.
+
+    NOTE (masking correctness): C_d[i, m] is nonzero only for d <= i, and
+    R(f)_{im} = 0 for m = 0 < i; combined with U's upper-left structure this
+    preserves the reference's order-block masking when the caller masks
+    P's rows/cols beyond ``order``.
     """
-    size = MAX_ORDER + 1  # 6
-    dtype = D.dtype
-    j = jnp.arange(size, dtype=dtype)
-
-    # R(factor): unrolled row-cumulative product (static 6 rows).  Everything
-    # here is elementwise/broadcast arithmetic — tiny batched dot_generals
-    # under vmap measured ~20x slower than the whole rest of the BDF step on
-    # TPU, and cumprod miscompiles for f64 on some TPU runtimes.
-    rows = [jnp.ones((size,), dtype)]
-    for i in range(1, size):
-        mi = jnp.where(j == 0, 0.0, (i - 1.0 - factor * j) / float(i))
-        rows.append(rows[-1] * mi)
-    R = jnp.stack(rows)
-
-    # U = R(1) is a compile-time constant.
+    size = MAX_ORDER + 1
+    # Rcoef[d, i, m] = coefficient of f^d in R_{im}
+    Rcoef = np.zeros((size, size, size))
+    for m in range(size):
+        for i in range(size):
+            poly = np.array([1.0])  # coefficients, ascending degree
+            for k in range(1, i + 1):
+                # multiply by ((k-1) - f*m)/k
+                lin = np.array([(k - 1.0) / k, -m / k])
+                poly = np.convolve(poly, lin)
+            if i > 0 and m == 0:
+                # (k-1 - 0)/k includes k=1 factor = 0 => R_{i0} = 0 for i>0
+                pass
+            Rcoef[: poly.shape[0], i, m] = poly
     U = np.ones((size, size))
     for i in range(1, size):
         mi = np.where(np.arange(size) == 0, 0.0,
                       (i - 1.0 - np.arange(size)) / float(i))
         U[i] = U[i - 1] * mi
-    U = jnp.asarray(U, dtype)
+    C = np.einsum("dim,mj->dij", Rcoef, U)
+    return C
+
+
+_CHANGE_D_C = _change_d_poly_coeffs()  # (6, 6, 6)
+
+
+def change_d(D, order, factor):
+    """Rescale D[0..order] for a step-size change by ``factor``
+    (bdf.rs:669-713 / SciPy BDF): D <- (R(factor) @ R(1))^T D, where R is the
+    cumulative-product matrix; rows/cols beyond ``order`` are untouched.
+
+    ``order`` and ``factor`` are traced.  P = R(factor) @ R(1) is evaluated
+    as a degree-5 matrix polynomial sum_d factor^d C_d with precomputed
+    constant C_d (see _change_d_poly_coeffs) — everything is elementwise /
+    broadcast arithmetic (tiny batched dot_generals under vmap measured
+    ~20x slower than the whole rest of the BDF step on TPU, and cumprod
+    miscompiles for f64 on some TPU runtimes).
+    """
+    size = MAX_ORDER + 1  # 6
+    dtype = D.dtype
+    C = jnp.asarray(_CHANGE_D_C, dtype)
+
+    # P = sum_d f^d C_d via Horner.
+    P = C[size - 1]
+    for d in range(size - 2, -1, -1):
+        P = P * factor + C[d]
 
     k = jnp.arange(size)
     in_blk = (k[:, None] <= order) & (k[None, :] <= order)
-    Rm = jnp.where(in_blk, R, 0.0)
-    Um = jnp.where(in_blk, U, 0.0)
-    # P = Rm @ Um and D6 = T^T @ D[:6], unrolled as broadcasted outer sums.
-    P = sum(Rm[:, m:m + 1] * Um[m:m + 1, :] for m in range(size))
     T = jnp.where(in_blk, P, jnp.eye(size, dtype=dtype))
+    # D6 = T^T @ D[:6], unrolled as broadcasted outer sums.
     D6 = sum(T[m][:, None] * D[m][None, :] for m in range(size))
     D_new = D.at[:size].set(D6)
     return jnp.where(factor == 1.0, D, D_new)

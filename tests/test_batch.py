@@ -208,3 +208,83 @@ def test_per_lane_t_eval_backward():
     assert np.all(np.asarray(res.n_samples) == 7)
     got = np.asarray(res.y_samples)[:, :, 0]
     np.testing.assert_allclose(got, np.exp(-grids), rtol=1e-7, atol=1e-8)
+
+
+def test_per_lane_args():
+    """args_batched=True: each lane integrates a different vector field
+    (parameter-sweep ensembles; RHS/jac receive the lane's args slice)."""
+    from ivp_tpu.batch import build_ensemble_solver
+
+    B = 8
+    lam = np.linspace(0.1, 3.0, B)
+
+    def dec(t, y, lam):
+        return -lam * y
+
+    solver = jax.jit(build_ensemble_solver(
+        dec, "RK45", n=1, args=(jnp.asarray(lam),), args_batched=True))
+    res = solver(np.ones((B, 1)), 0.0, 2.0, 1e-9, 1e-12)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    np.testing.assert_allclose(np.asarray(res.y)[:, 0], np.exp(-2.0 * lam),
+                               rtol=1e-8)
+
+    # stiff per-lane mu through the implicit path (jacfwd sees lane args)
+    def vdp(t, y, mu):
+        return jnp.array([y[1], mu * (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+    mus = np.linspace(100.0, 1000.0, 4)
+    sol2 = jax.jit(build_ensemble_solver(
+        vdp, "Radau", n=2, args=(jnp.asarray(mus),), args_batched=True))
+    r2 = sol2(np.tile([2.0, 0.0], (4, 1)), 0.0, 100.0, 1e-6, 1e-9)
+    assert np.all(np.asarray(r2.status) == Status.SUCCESS)
+    nst = np.asarray(r2.nstep)
+    # per-lane fields genuinely differ (each mu has its own step history)
+    assert nst.min() != nst.max()
+
+
+def test_in_device_event_restart():
+    """max_restarts: terminal events with a .restart map relaunch the lane
+    inside the compiled loop (ModifiedSolution analog, solout.rs:73-78) —
+    bouncing-ball ensemble entirely on device."""
+    from ivp_tpu.batch import build_ensemble_solver
+
+    g = 9.81
+    cor = 0.8
+
+    def ball(t, y):
+        return jnp.array([y[1], -g])
+
+    def ground(t, y):
+        return y[0]
+
+    ground.terminal = True
+    ground.direction = -1
+    ground.restart = lambda t, y: jnp.array([0.0, -cor * y[1]])
+
+    B = 8
+    heights = np.linspace(5.0, 20.0, B)
+    y0 = np.stack([heights, np.zeros(B)], axis=1)
+    solver = jax.jit(build_ensemble_solver(ball, "RK45", n=2, events=[ground],
+                                           event_capacity=16, max_restarts=6))
+    res = solver(y0, 0.0, 12.0, 1e-9, 1e-9)
+
+    # analytic bounce times: t1 = sqrt(2h/g), then spacing 2*cor^k*v0/g
+    t1 = np.sqrt(2 * heights / g)
+    v0 = np.sqrt(2 * g * heights)
+    tb = np.asarray(res.t_events)[:, 0, :]
+    np.testing.assert_allclose(tb[:, 0], t1, atol=1e-10)
+    np.testing.assert_allclose(tb[:, 1], t1 + 2 * cor * v0 / g, atol=1e-10)
+    nb = np.asarray(res.n_events)[:, 0]
+    assert np.all(nb >= 2)
+    # lanes that exhaust the restart budget stop with USER_INTERRUPT;
+    # the others reach tf with SUCCESS.
+    st = np.asarray(res.status)
+    nr = np.asarray(res.n_restarts)
+    assert np.all((st == Status.SUCCESS) | (st == Status.USER_INTERRUPT))
+    assert np.all(nr[st == Status.USER_INTERRUPT] == 6)
+    # every SUCCESS lane actually reached tf (a restarted lane must not
+    # inherit the engine's finished flag from the interrupted step)
+    np.testing.assert_allclose(np.asarray(res.t)[st == Status.SUCCESS], 12.0,
+                               atol=1e-9)
+    # restarted trajectories stay physical (ball above ground at tf)
+    assert np.all(np.asarray(res.y)[:, 0] >= -1e-8)
