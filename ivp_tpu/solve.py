@@ -191,11 +191,19 @@ def solve_ivp(
     chunk_steps: int = 4096,
     event_capacity: int = 512,
     solver_options: Optional[dict] = None,
+    max_restarts: int = 0,
 ) -> OdeResult:
     """Solve an initial value problem y' = f(t, y) with a TPU-compiled loop.
 
     SciPy-compatible signature (reference src/python/solve.rs:150-167).
     ``fun``, ``events`` and ``jac`` must be JAX-traceable.
+
+    Beyond SciPy: ``max_restarts`` enables in-device event restarts — a
+    terminal event whose callable has a ``restart`` attribute
+    (``y_new = e.restart(t, y)``) relaunches the integration from the event
+    point with the modified state inside the compiled loop (the reference's
+    ControlFlag::ModifiedSolution, src/solout.rs:73-78), up to
+    ``max_restarts`` times; ``result.n_restarts`` reports the count.
     """
     del vectorized  # the RHS is traced; vectorization is inherent
     dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
@@ -274,7 +282,7 @@ def solve_ivp(
         tuple(_hashable(e) for e in ev_list),
         first_step is not None, bool(mass is not None),
         nind1, nind2, nind3, _hashable(jac_sparsity),
-        tuple(sorted((solver_options or {}).items())),
+        tuple(sorted((solver_options or {}).items())), max_restarts,
     )
 
     # Narrow-band Jacobian sparsity enables the block-tridiagonal cyclic
@@ -294,8 +302,11 @@ def solve_ivp(
             **extra_opts, **(solver_options or {}),
         )
         cfg = DriverConfig(rec_cap=chunk_steps, record_cont=need_cont,
-                           ncoeff=engine.ncoeff, event_spec=ev_spec)
-        init_carry, run_chunk, reset, _ = make_driver(engine, p, cfg, rhs, events_fn)
+                           ncoeff=engine.ncoeff, event_spec=ev_spec,
+                           max_restarts=max_restarts)
+        restart_fns = [getattr(e, "restart", None) for e in ev_list]
+        init_carry, run_chunk, reset, _ = make_driver(engine, p, cfg, rhs,
+                                                      events_fn, restart_fns)
         return (
             engine,
             jax.jit(init_carry),
@@ -426,6 +437,7 @@ def solve_ivp(
         nstep=int(carry.nstep), naccpt=int(carry.naccpt), nrejct=int(carry.nrejct),
         status=scipy_status, message=scipy_message(status),
         success=scipy_status >= 0,
+        n_restarts=int(carry.n_restarts),
     )
 
 

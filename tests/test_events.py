@@ -196,3 +196,33 @@ def test_backward_events():
     assert res.success
     assert_allclose(np.sort(res.t_events[0]), [np.pi / 2, 3 * np.pi / 2],
                     rtol=1e-6)
+
+
+def test_solve_ivp_in_device_restart():
+    """solve_ivp max_restarts: bouncing ball integrated in ONE compiled
+    call — every bounce handled by the event's .restart map in-loop
+    (ModifiedSolution analog; cf. the host-loop variant in
+    examples/bouncing_ball.py)."""
+    g = 9.81
+    cor = 0.8
+
+    def ball(t, y):
+        return jnp.array([y[1], -g])
+
+    def ground(t, y):
+        return y[0]
+
+    ground.terminal = True
+    ground.direction = -1
+    ground.restart = lambda t, y: jnp.array([0.0, -cor * y[1]])
+
+    r = solve_ivp(ball, (0.0, 12.0), [10.0, 0.0], method="RK45", rtol=1e-9,
+                  atol=1e-9, events=[ground], max_restarts=10)
+    assert r.n_restarts == 10
+    t1 = np.sqrt(2 * 10.0 / g)
+    v0 = np.sqrt(2 * g * 10.0)
+    tb = np.asarray(r.t_events[0])
+    np.testing.assert_allclose(tb[0], t1, atol=1e-9)
+    np.testing.assert_allclose(tb[1], t1 + 2 * cor * v0 / g, atol=1e-9)
+    # budget exhausted before tf => interrupt at the 11th bounce
+    assert r.status == 1
