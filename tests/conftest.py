@@ -7,6 +7,17 @@ first jax import.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset a TPU platform
+
+# Pin each xdist worker to its own CPU.  XLA's CPU thunk runtime spin-waits
+# on its thread pool; with N unpinned workers the oversubscribed spinners
+# slow everything superlinearly (measured: one warm test 4.5 s alone,
+# 50 s with 8 concurrent unpinned workers, 5 s with 8 pinned workers).
+_w = os.environ.get("PYTEST_XDIST_WORKER", "")
+if _w.startswith("gw"):
+    try:
+        os.sched_setaffinity(0, {int(_w[2:]) % (os.cpu_count() or 1)})
+    except (ValueError, OSError, AttributeError):
+        pass
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
