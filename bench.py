@@ -63,7 +63,7 @@ def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
     return stats
 
 
-def measure_stiff(method="Radau", B=32768, t0=0.0, tf=3000.0, rtol=1e-4,
+def measure_stiff(method="Radau", B=131072, t0=0.0, tf=3000.0, rtol=1e-4,
                   atol=1e-6, dtype=jnp.float64, solver_options=None,
                   label=""):
     """Secondary metric: stiff Van der Pol mu=1000 (chunked resumable solve).
