@@ -25,11 +25,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data"):
+def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data",
+                          tol_specs=(None, None)):
     """Wrap a ``build_ensemble_solver`` result for SPMD execution over ``mesh``.
 
     The batch axis of ``y0_batch`` is split across devices; each device runs an
     independent while-loop over its shard (no collectives inside).
+    ``tol_specs``: per-argument PartitionSpec (or None = replicated) for
+    (rtol, atol) — pass ``P(axis)`` for per-lane tolerances.
     """
     try:
         from jax import shard_map
@@ -39,7 +42,7 @@ def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data"):
     sharded = shard_map(
         lambda y0, t0, tf, rtol, atol: solver(y0, t0, tf, rtol, atol),
         mesh=mesh,
-        in_specs=(P(axis), None, None, None, None),
+        in_specs=(P(axis), None, None) + tuple(tol_specs),
         out_specs=P(axis),
         check_vma=False,
     )
@@ -50,23 +53,43 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                       atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
                       mesh: Optional[Mesh] = None, axis: str = "data",
                       dtype=None, events=None, event_capacity: int = 16,
-                      t_eval=None):
+                      t_eval=None, solver_options: Optional[dict] = None,
+                      max_restarts: int = 0):
     """Batched solve with the ensemble axis sharded over a device mesh.
 
     The batch size must be divisible by the mesh size.  Per-lane terminal /
-    directional events are supported (fixed-capacity buffers, sharded with
-    the lanes).
+    directional events (with optional in-device ``restart`` maps), per-lane
+    rtol/atol (leading (B,) axis) and ``solver_options`` are supported —
+    per-lane state shards with the lanes.  (Per-lane ``t_eval`` grids and
+    ``args_batched`` are not yet supported in the sharded wrapper.)
     """
     y0_batch = jnp.atleast_2d(jnp.asarray(y0_batch))
-    n = y0_batch.shape[1]
+    B, n = y0_batch.shape
     if mesh is None:
         mesh = make_mesh(axis=axis)
+    if t_eval is not None and np.ndim(t_eval) > 1:
+        raise NotImplementedError(
+            "per-lane t_eval grids are not supported in solve_ivp_sharded")
     solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,
                                    args=tuple(args), jac=jac,
                                    max_steps=max_steps, events=events,
                                    event_capacity=event_capacity,
-                                   t_eval=t_eval)
-    runner = shard_ensemble_solver(solver, mesh, axis)
+                                   t_eval=t_eval,
+                                   solver_options=solver_options,
+                                   max_restarts=max_restarts)
+
+    def _tol_spec(v):
+        a = np.asarray(v)
+        return P(axis) if (a.ndim >= 1 and a.shape[0] == B and B != n) or \
+            a.ndim == 2 else None
+
+    specs = (_tol_spec(rtol), _tol_spec(atol))
+    runner = shard_ensemble_solver(solver, mesh, axis, tol_specs=specs)
     t0, tf = float(t_span[0]), float(t_span[1])
     y0_batch = jax.device_put(y0_batch, NamedSharding(mesh, P(axis)))
-    return runner(y0_batch, t0, tf, rtol, atol)
+    sh = NamedSharding(mesh, P(axis))
+    rtol_in = (jax.device_put(jnp.asarray(rtol), sh)
+               if specs[0] is not None else rtol)
+    atol_in = (jax.device_put(jnp.asarray(atol), sh)
+               if specs[1] is not None else atol)
+    return runner(y0_batch, t0, tf, rtol_in, atol_in)

@@ -288,3 +288,38 @@ def test_in_device_event_restart():
                                atol=1e-9)
     # restarted trajectories stay physical (ball above ground at tf)
     assert np.all(np.asarray(res.y)[:, 0] >= -1e-8)
+
+
+def test_sharded_per_lane_rtol_and_restarts():
+    """Sharded ensembles (8-device virtual mesh) with per-lane rtol and
+    in-device event restarts — per-lane state shards with the lanes."""
+    B = 32
+    rtols = np.logspace(-9, -3, B).reshape(B, 1)
+    y0 = np.ones((B, 1))
+    res = solve_ivp_sharded(expdec, (0.0, 5.0), y0, method="RK45",
+                            rtol=rtols, atol=1e-12)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    err = np.abs(np.asarray(res.y)[:, 0] - np.exp(-5.0))
+    assert err[0] < err[-1] * 1e-2
+    assert np.asarray(res.nfev)[0] > np.asarray(res.nfev)[-1]
+
+    g = 9.81
+
+    def ball(t, y):
+        return jnp.array([y[1], -g])
+
+    def ground(t, y):
+        return y[0]
+
+    ground.terminal = True
+    ground.direction = -1
+    ground.restart = lambda t, y: jnp.array([0.0, -0.8 * y[1]])
+
+    heights = np.linspace(5.0, 20.0, B)
+    y0b = np.stack([heights, np.zeros(B)], axis=1)
+    res = solve_ivp_sharded(ball, (0.0, 12.0), y0b, method="RK45",
+                            rtol=1e-9, atol=1e-9, events=[ground],
+                            event_capacity=16, max_restarts=6)
+    tb = np.asarray(res.t_events)[:, 0, 0]
+    np.testing.assert_allclose(tb, np.sqrt(2 * heights / g), atol=1e-9)
+    assert np.all(np.asarray(res.n_events)[:, 0] >= 2)
