@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax, vmap
 
-from .linalg import inv, inv_complex
+from .linalg import inv, inv_complex, matvec
 
 
 # ---------------------------------------------------------------------------
@@ -113,9 +113,9 @@ def _bmm(A, B):
     return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
 
 
-def _bmv(A, x):
-    """Batched block matvec (m, b, b) @ (m, b)."""
-    return jnp.sum(A * x[..., None, :], axis=-1)
+# Batched block matvec (m, b, b) @ (m, b): linalg.matvec broadcasts over
+# leading dims with the same mul+reduce idiom.
+_bmv = matvec
 
 
 class BTDFactor(NamedTuple):
@@ -126,17 +126,6 @@ class BTDFactor(NamedTuple):
     L_odd: jnp.ndarray
     U_odd: jnp.ndarray
     Dinv_top: jnp.ndarray  # (b, b)
-
-
-def _pad_identity(D, L, U, M, b):
-    """Append decoupled identity blocks so each array has M blocks."""
-    k = M - D.shape[0]
-    if k == 0:
-        return D, L, U
-    eye = jnp.broadcast_to(jnp.eye(b, dtype=D.dtype), (k, b, b))
-    z = jnp.zeros((k, b, b), D.dtype)
-    return (jnp.concatenate([D, eye]), jnp.concatenate([L, z]),
-            jnp.concatenate([U, z]))
 
 
 def btd_factor(D, L, U):

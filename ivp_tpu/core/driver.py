@@ -157,15 +157,28 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             # Fresh method state from the restart point (the reference
             # re-evaluates f after ModifiedSolution; BDF additionally needs
             # its difference array rebuilt, so re-init covers every engine).
+            # cond-gated: a non-restarting step skips the init's RHS/jac
+            # work in the scalar path (under vmap this lowers to select,
+            # costing nothing extra).
             fs_re = (jnp.abs(res.h_used) if engine.name == "RK4" else None)
-            ms_re, nfev_re = engine.init(rhs, out.t_term, y_re, fs_re, ra, p)
-            ms_next = tree_where(do_restart, ms_re, res.ms)
-            # Event values restart from the modified state; per-event hit
-            # counters reset so the same terminal event can fire again;
-            # recorded occurrence buffers are kept.
-            g_re = events_fn(out.t_term, y_re)
-            ev_re = ev_new._replace(
-                g_prev=g_re, hits=jnp.zeros_like(ev_new.hits))
+
+            def _restart_init():
+                ms_re, nfev_re = engine.init(rhs, out.t_term, y_re, fs_re,
+                                             ra, p)
+                return ms_re, _i32(nfev_re), events_fn(out.t_term, y_re)
+
+            def _no_restart():
+                return res.ms, _i32(0), ev_new.g_prev
+
+            ms_next, nfev_re, g_re = lax.cond(do_restart, _restart_init,
+                                              _no_restart)
+            # Event values restart from the modified state; the restarting
+            # event's hit counter resets so it can fire again (other
+            # events keep their accumulated terminal counts); recorded
+            # occurrence buffers are kept.
+            hits_re = jnp.where(jnp.arange(spec.n_events) == out.i_term,
+                                0, ev_new.hits)
+            ev_re = ev_new._replace(g_prev=g_re, hits=hits_re)
             ev_new = tree_where(do_restart, ev_re, ev_new)
             terminal = terminal & ~do_restart
             # A restarted lane is mid-flight again even if the engine had
@@ -174,9 +187,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             t_rec = jnp.where(do_restart, out.t_term, t_rec)
             y_rec = jnp.where(do_restart, y_re, y_rec)
             n_restarts = n_restarts + do_restart.astype(jnp.int32)
-            res = res._replace(
-                nfev_inc=res.nfev_inc
-                + jnp.where(do_restart, nfev_re, 0).astype(jnp.int32))
+            res = res._replace(nfev_inc=res.nfev_inc + nfev_re)
 
         # ---- Record the accepted step ----
         if cap:

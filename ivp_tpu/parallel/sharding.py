@@ -78,18 +78,27 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                                    solver_options=solver_options,
                                    max_restarts=max_restarts)
 
-    def _tol_spec(v):
+    def _norm(v):
+        """(value, spec): per-lane tolerances are normalized to (B, k) BEFORE
+        sharding, so the per-shard (B/ndev, k) slice is unambiguously
+        per-lane inside _norm_tol (a 1-D (B,) array could otherwise be
+        misread as per-component when the shard size happens to equal n)."""
         a = np.asarray(v)
-        return P(axis) if (a.ndim >= 1 and a.shape[0] == B and B != n) or \
-            a.ndim == 2 else None
+        if a.ndim == 1 and a.shape[0] == B and B != n:
+            a = a[:, None]
+        if a.ndim == 2:
+            if a.shape[0] != B:
+                raise ValueError(f"2-D tolerance must have leading batch "
+                                 f"dim {B}, got {a.shape}")
+            return jnp.asarray(a), P(axis)
+        return v, None
 
-    specs = (_tol_spec(rtol), _tol_spec(atol))
-    runner = shard_ensemble_solver(solver, mesh, axis, tol_specs=specs)
+    (rtol_v, spec_r), (atol_v, spec_a) = _norm(rtol), _norm(atol)
+    runner = shard_ensemble_solver(solver, mesh, axis,
+                                   tol_specs=(spec_r, spec_a))
     t0, tf = float(t_span[0]), float(t_span[1])
-    y0_batch = jax.device_put(y0_batch, NamedSharding(mesh, P(axis)))
     sh = NamedSharding(mesh, P(axis))
-    rtol_in = (jax.device_put(jnp.asarray(rtol), sh)
-               if specs[0] is not None else rtol)
-    atol_in = (jax.device_put(jnp.asarray(atol), sh)
-               if specs[1] is not None else atol)
+    y0_batch = jax.device_put(y0_batch, sh)
+    rtol_in = jax.device_put(rtol_v, sh) if spec_r is not None else rtol_v
+    atol_in = jax.device_put(atol_v, sh) if spec_a is not None else atol_v
     return runner(y0_batch, t0, tf, rtol_in, atol_in)

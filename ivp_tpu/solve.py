@@ -60,7 +60,8 @@ class OdeSolution:
     SciPy's OdeSolution (extrapolates beyond the covered span; reference
     src/python/solution.rs:76-139, src/solve/cont.rs:93-153)."""
 
-    def __init__(self, method: str, interp: Callable, xolds, hs, conts, t0, y0):
+    def __init__(self, method: str, interp: Callable, xolds, hs, conts, t0, y0,
+                 t_ends=None):
         self.method = method
         self._interp = interp
         self._xolds = np.asarray(xolds)
@@ -70,13 +71,20 @@ class OdeSolution:
         self._y0 = np.asarray(y0)
         self.n_segments = self._xolds.shape[0]
         if self.n_segments:
+            # Segment right edges in integration order for searchsorted.
+            # ``t_ends`` (the recorded per-step endpoints) matters when a
+            # step was truncated by a terminal/restarting event: its
+            # interpolant's nominal span xold + h extends past the event
+            # point and would otherwise shadow the post-restart segments.
+            if t_ends is not None:
+                self._edges = np.asarray(t_ends)
+            else:
+                self._edges = self._xolds + self._hs
             t_start = self._xolds[0]
-            t_end = self._xolds[-1] + self._hs[-1]
+            t_end = self._edges[-1]
             self.t_min = float(min(t_start, t_end))
             self.t_max = float(max(t_start, t_end))
             self._forward = (t_end - t_start) >= 0
-            # Segment right edges in integration order for searchsorted.
-            self._edges = self._xolds + self._hs
         else:
             self.t_min = self.t_max = self._t0
             self._forward = True
@@ -362,7 +370,10 @@ def solve_ivp(
         """Vectorized dense evaluation of many times against the records."""
         if ts.size == 0:
             return np.zeros((0, n))
-        edges = rec_xold + rec_h
+        # Recorded endpoints, not xold + h: an event-truncated (restart)
+        # step's interpolant nominally spans past the event point and must
+        # not shadow the post-restart segments.
+        edges = rec_t
         if posneg > 0:
             idx = np.searchsorted(edges, ts - _TOL, side="left")
         else:
@@ -427,7 +438,7 @@ def solve_ivp(
     sol = None
     if dense_output:
         sol = OdeSolution(method, engine.interp, rec_xold, rec_h, rec_cont,
-                          t0, y0_np)
+                          t0, y0_np, t_ends=rec_t)
 
     scipy_status = Status.to_scipy(status)
     return OdeResult(

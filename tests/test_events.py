@@ -226,3 +226,66 @@ def test_solve_ivp_in_device_restart():
     np.testing.assert_allclose(tb[1], t1 + 2 * cor * v0 / g, atol=1e-9)
     # budget exhausted before tf => interrupt at the 11th bounce
     assert r.status == 1
+
+
+def test_restart_dense_output_segments():
+    """Regression: dense output / t_eval across an in-device restart must
+    evaluate the post-restart segments, not the truncated step's interpolant
+    extended past the event point (segment edges come from the recorded
+    endpoints)."""
+    g = 9.81
+    cor = 0.8
+
+    def ball(t, y):
+        return jnp.array([y[1], -g])
+
+    def ground(t, y):
+        return y[0]
+
+    ground.terminal = True
+    ground.direction = -1
+    ground.restart = lambda t, y: jnp.array([0.0, -cor * y[1]])
+
+    t1 = np.sqrt(2 * 10.0 / g)     # first bounce
+    v1 = cor * np.sqrt(2 * g * 10.0)
+    grid = np.linspace(t1 + 0.01, t1 + 0.5, 9)  # shortly AFTER the bounce
+    r = solve_ivp(ball, (0.0, 5.0), [10.0, 0.0], method="RK45", rtol=1e-9,
+                  atol=1e-9, events=[ground], max_restarts=4,
+                  dense_output=True, t_eval=grid)
+    # exact post-bounce arc: y = v1*(t-t1) - g/2 (t-t1)^2  (positive!)
+    dt = grid - t1
+    exact = v1 * dt - 0.5 * g * dt ** 2
+    np.testing.assert_allclose(r.y[0], exact, rtol=1e-7, atol=1e-9)
+    assert np.all(r.y[0] > 0)  # the pre-bounce parabola would be negative
+    np.testing.assert_allclose(np.asarray(r.sol(grid))[0], exact,
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_restart_preserves_other_event_counters():
+    """Regression: a restart resets only the restarting event's hit counter;
+    another event's accumulated terminal count survives bounces."""
+    g = 9.81
+
+    def ball(t, y):
+        return jnp.array([y[1], -g])
+
+    def ground(t, y):
+        return y[0]
+
+    ground.terminal = True
+    ground.direction = -1
+    ground.restart = lambda t, y: jnp.array([0.0, -0.8 * y[1]])
+
+    def apex(t, y):           # velocity zero-crossing going down
+        return y[1]
+
+    apex.terminal = 3          # stop at the 3rd apex
+    apex.direction = -1
+
+    r = solve_ivp(ball, (0.0, 30.0), [10.0, 0.0], method="RK45", rtol=1e-9,
+                  atol=1e-9, events=[ground, apex], max_restarts=10)
+    # one apex per bounce arc: the 3rd apex terminates the run even though
+    # ground restarts keep resetting their own counter in between
+    assert r.status == 1
+    assert len(np.asarray(r.t_events[1])) == 3
+    assert r.n_restarts < 10
