@@ -289,3 +289,30 @@ def test_restart_preserves_other_event_counters():
     assert r.status == 1
     assert len(np.asarray(r.t_events[1])) == 3
     assert r.n_restarts < 10
+
+
+@pytest.mark.parametrize("method", ["Radau", "BDF"])
+def test_in_device_restart_stiff_engines(method):
+    """In-device restarts through the implicit engines: the cond-gated
+    re-init rebuilds the Jacobian/difference-array state at the restart
+    point (sawtooth relaxation: y' = -k y, replenish to 1 at y = 0.5)."""
+    k = 50.0
+
+    def decay(t, y):
+        return -k * y
+
+    def low(t, y):
+        return y[0] - 0.5
+
+    low.terminal = True
+    low.direction = -1
+    low.restart = lambda t, y: jnp.ones_like(y)
+
+    period = np.log(2.0) / k
+    r = solve_ivp(decay, (0.0, 10 * period * 1.01), [1.0], method=method,
+                  rtol=1e-8, atol=1e-10, events=[low], max_restarts=20)
+    tb = np.asarray(r.t_events[0])
+    assert tb.size >= 5
+    # crossings are equally spaced by ln(2)/k
+    np.testing.assert_allclose(np.diff(tb[:5]), period, rtol=1e-6)
+    np.testing.assert_allclose(tb[0], period, rtol=1e-6)
