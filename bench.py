@@ -104,6 +104,60 @@ def measure_stiff(method="Radau", B=131072, t0=0.0, tf=3000.0, rtol=1e-4,
     }
 
 
+def measure_lorenz(B=16384, rtol=1e-8, atol=1e-10):
+    """Reference harness config #3 (benchmark.py:129-137): Lorenz chaotic,
+    t in [0, 100], tight tolerances — as a perturbed-IC ensemble."""
+    def lorenz(t, y):
+        return jnp.array([10.0 * (y[1] - y[0]),
+                          y[0] * (28.0 - y[2]) - y[1],
+                          y[0] * y[1] - (8.0 / 3.0) * y[2]])
+
+    solver = jax.jit(build_ensemble_solver(lorenz, "DOP853", n=3,
+                                           max_steps=200_000))
+    rng = np.random.default_rng(0)
+    y0 = jnp.asarray(np.array([1.0, 1.0, 1.0])
+                     + 1e-3 * rng.standard_normal((B, 3)))
+    res = solver(y0, 0.0, 100.0, rtol, atol)
+    int(np.asarray(res.nfev[0]))  # warmup sync
+    start = time.perf_counter()
+    res = solver(y0 + 1e-9, 0.0, 100.0, rtol, atol)
+    n0 = int(np.asarray(res.nfev[0]))  # sync
+    dt = time.perf_counter() - start
+    return {
+        "config": f"Lorenz, t=[0,100], DOP853, rtol={rtol}, f64, B={B}",
+        "ivps_per_sec": round(B / dt, 1),
+        "wall_s": round(dt, 3),
+        "mean_nstep": float(np.mean(np.asarray(res.nstep))),
+        "success_fraction": float(np.mean(np.asarray(res.status) == 0)),
+    }
+
+
+def measure_linear100(B=4096, rtol=1e-6, atol=1e-8):
+    """Reference harness config #4 (benchmark.py:140-148): linear system of
+    N=100 coupled decays — a larger-n state vector per trajectory."""
+    N = 100
+    lam = jnp.asarray(np.linspace(0.5, 2.0, N))
+
+    def decay(t, y):
+        return -lam * y
+
+    solver = jax.jit(build_ensemble_solver(decay, "RK45", n=N))
+    rng = np.random.default_rng(0)
+    y0 = jnp.asarray(1.0 + 0.1 * rng.standard_normal((B, N)))
+    res = solver(y0, 0.0, 10.0, rtol, atol)
+    int(np.asarray(res.nfev[0]))
+    start = time.perf_counter()
+    res = solver(y0 + 1e-9, 0.0, 10.0, rtol, atol)
+    int(np.asarray(res.nfev[0]))
+    dt = time.perf_counter() - start
+    return {
+        "config": f"linear decay N=100, t=[0,10], RK45, rtol={rtol}, f64, B={B}",
+        "ivps_per_sec": round(B / dt, 1),
+        "wall_s": round(dt, 3),
+        "success_fraction": float(np.mean(np.asarray(res.status) == 0)),
+    }
+
+
 def _measure_with_retry(dtype, B, attempts=4):
     """The remote TPU worker occasionally restarts; retry with backoff."""
     for k in range(attempts):
@@ -130,6 +184,15 @@ def main():
     stiff_f32 = _stiff(method="Radau", dtype=jnp.float32)
     stiff_mixed = _stiff(method="Radau", label="/mixed-precision",
                          solver_options={"newton_precision": "mixed"})
+
+    def _aux(fn, **kw):
+        try:
+            return fn(**kw)
+        except Exception as e:
+            return {"error": str(e)[:200]}
+
+    lorenz = _aux(measure_lorenz)
+    linear100 = _aux(measure_linear100)
     value = f64["ivps_per_sec"]
     out = {
         "metric": "vdp_ivps_per_sec_per_chip_f64",
@@ -144,6 +207,8 @@ def main():
             "stiff_bdf_f64": stiff_bdf,
             "stiff_radau_f32": stiff_f32,
             "stiff_radau_f64_mixed_newton": stiff_mixed,
+            "lorenz_dop853_f64": lorenz,
+            "linear_decay_n100_f64": linear100,
             "device": str(jax.devices()[0]),
             "config": "VdP mu=1, t=[0,100], DOPRI5, rtol=1e-6, atol=1e-8",
         },
