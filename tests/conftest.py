@@ -36,3 +36,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/ivp_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Schedule known-slow tests first (LPT-style): with xdist work-stealing
+    a heavy test started last leaves 7 idle workers waiting on it; fronting
+    the heavy files shortens the tail of cold runs by minutes."""
+    slow_markers = (
+        "events_full_matrix", "events_backward", "integration_const_jac",
+        "test_pallas", "linear_mode_equivalence", "mixed_precision",
+        "sparse_difference", "test_args", "t_eval_early_event",
+        "per_lane", "restart", "resume_matches",
+    )
+
+    def weight(item):
+        name = item.nodeid
+        return 0 if any(m in name for m in slow_markers) else 1
+
+    items.sort(key=weight)
