@@ -323,3 +323,41 @@ def test_sharded_per_lane_rtol_and_restarts():
     tb = np.asarray(res.t_events)[:, 0, 0]
     np.testing.assert_allclose(tb, np.sqrt(2 * heights / g), atol=1e-9)
     assert np.all(np.asarray(res.n_events)[:, 0] >= 2)
+
+
+def test_restart_with_in_loop_sampling():
+    """In-loop t_eval sampling across in-device restarts: grid points after
+    a bounce must come from post-restart segments (the in-loop emitter
+    truncates each step's emission at the recorded endpoint)."""
+    from ivp_tpu.batch import build_ensemble_solver
+
+    g = 9.81
+    cor = 0.8
+
+    def ball(t, y):
+        return jnp.array([y[1], -g])
+
+    def ground(t, y):
+        return y[0]
+
+    ground.terminal = True
+    ground.direction = -1
+    ground.restart = lambda t, y: jnp.array([0.0, -cor * y[1]])
+
+    B = 4
+    heights = np.array([8.0, 10.0, 12.0, 14.0])
+    t1 = np.sqrt(2 * heights / g)
+    v1 = cor * np.sqrt(2 * g * heights)
+    # per-lane grids: one point before, one shortly after each lane's bounce
+    grids = np.stack([np.array([0.5 * t, t + 0.2]) for t in t1])
+    solver = jax.jit(build_ensemble_solver(ball, "RK45", n=2,
+                                           events=[ground], max_restarts=3,
+                                           t_eval=grids))
+    res = solver(np.stack([heights, np.zeros(B)], 1), 0.0, 5.0, 1e-9, 1e-9)
+    ys = np.asarray(res.y_samples)[:, :, 0]
+    before = heights - 0.5 * g * (0.5 * t1) ** 2
+    after = v1 * 0.2 - 0.5 * g * 0.2 ** 2  # post-bounce arc, positive
+    np.testing.assert_allclose(ys[:, 0], before, rtol=1e-8)
+    np.testing.assert_allclose(ys[:, 1], after, rtol=1e-7)
+    assert np.all(ys[:, 1] > 0)
+    assert np.all(np.asarray(res.n_samples) == 2)
