@@ -210,7 +210,7 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                            event_capacity: int = 16,
                            first_step: Optional[float] = None,
                            t_eval=None, solver_options: Optional[dict] = None,
-                           max_restarts: int = 0):
+                           max_restarts: int = 0, unroll: int = 1):
     """Checkpointable ensemble integration (SURVEY.md §5 checkpoint/resume:
     the while-loop carry IS the checkpoint).
 
@@ -267,7 +267,7 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                            jac_fn=jac_fn, n=n, **(solver_options or {}))
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
                        event_spec=ev_spec, sample_cap=sample_cap,
-                       max_restarts=max_restarts)
+                       max_restarts=max_restarts, unroll=max(1, unroll))
     restart_fns = [getattr(e, "restart", None) for e in ev_list]
     init_carry, _, _, run_bounded = make_driver(engine, p, cfg, rhs,
                                                 events_fn, restart_fns)
