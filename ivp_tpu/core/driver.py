@@ -93,23 +93,29 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
 
     def init_carry(t0, y0, first_step, ra: RunArgs) -> Carry:
         dtype = y0.dtype
+        # Time precision follows ra.tend: with an f64-time/f32-state hybrid
+        # (time_dtype in the builders) t, the record time axis and event
+        # times carry f64 resolution while the state math stays f32.
+        tdt = ra.tend.dtype
         n = y0.shape[-1]
+        t0 = jnp.asarray(t0, tdt)
         ms, nfev0 = engine.init(rhs, t0, y0, first_step, ra, p)
-        ev = (init_ev_state(events_fn, t0, y0, spec, dtype)
+        ev = (init_ev_state(events_fn, t0, y0, spec, dtype, tdt)
               if has_events else
               EvState(g_prev=jnp.zeros((0,), dtype), hits=jnp.zeros((0,), jnp.int32),
-                      n_rec=jnp.zeros((0,), jnp.int32), t_buf=jnp.zeros((0, 1), dtype),
-                      y_buf=jnp.zeros((0, 1, n), dtype)))
+                      n_rec=jnp.zeros((0,), jnp.int32), t_buf=jnp.zeros((0, 1), tdt),
+                      y_buf=jnp.zeros((0, 1, n), dtype),
+                      overflow=jnp.zeros((0,), bool)))
         return Carry(
-            t=jnp.asarray(t0, dtype), y=y0, ms=ms,
+            t=t0, y=y0, ms=ms,
             status=_i32(Status.RUNNING), done=jnp.zeros((), bool),
             nfev=_i32(nfev0), njev=_i32(0), nlu=_i32(0),
             nstep=_i32(0), naccpt=_i32(0), nrejct=_i32(0),
             n_rec=_i32(0),
-            rec_t=jnp.zeros((cap,), dtype),
+            rec_t=jnp.zeros((cap,), tdt),
             rec_y=jnp.zeros((cap, n), dtype),
-            rec_xold=jnp.zeros((cap,), dtype),
-            rec_h=jnp.zeros((cap,), dtype),
+            rec_xold=jnp.zeros((cap,), tdt),
+            rec_h=jnp.zeros((cap,), tdt),
             rec_cont=jnp.zeros((cap, C, n), dtype),
             ev=ev,
             s_cursor=_i32(0),
@@ -142,7 +148,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
         finished = res.finished
         if has_restarts:
             can = jnp.asarray([f is not None for f in restart_fns])
-            restartable = jnp.sum(
+            restartable = jnp.any(
                 jnp.where(jnp.arange(spec.n_events) == out.i_term, can, False))
             # No restart exactly at (or beyond) tend — the trajectory is over.
             before_end = (out.t_term - ra.tend) * c.ms.posneg < 0.0
@@ -172,6 +178,8 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
 
             ms_next, nfev_re, g_re = lax.cond(do_restart, _restart_init,
                                               _no_restart)
+            njev_re = (do_restart.astype(jnp.int32) * engine.init_njev
+                       if engine.init_njev else _i32(0))
             # Event values restart from the modified state; the restarting
             # event's hit counter resets so it can fire again (other
             # events keep their accumulated terminal counts); recorded
@@ -187,7 +195,8 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             t_rec = jnp.where(do_restart, out.t_term, t_rec)
             y_rec = jnp.where(do_restart, y_re, y_rec)
             n_restarts = n_restarts + do_restart.astype(jnp.int32)
-            res = res._replace(nfev_inc=res.nfev_inc + nfev_re)
+            res = res._replace(nfev_inc=res.nfev_inc + nfev_re,
+                               njev_inc=res.njev_inc + njev_re)
 
         # ---- Record the accepted step ----
         if cap:
@@ -222,7 +231,8 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
                 cur, buf = sc
                 tau = ra.t_grid[jnp.minimum(cur, cfg.sample_cap - 1)]
                 yi = engine.interp(res.cont, res.xold, res.h_used, tau)
-                buf = buf.at[jnp.minimum(cur, cfg.sample_cap - 1)].set(yi)
+                buf = buf.at[jnp.minimum(cur, cfg.sample_cap - 1)].set(
+                    yi.astype(buf.dtype))
                 return cur + 1, buf
 
             s_cursor, sample_y = lax.while_loop(
@@ -310,15 +320,19 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
 
 
 def run_args(tend, rtol, atol, hmax, hmin, max_steps, dtype,
-             t_grid=None) -> RunArgs:
+             t_grid=None, time_dtype=None) -> RunArgs:
+    """Tolerances carry the state dtype; tend/hmax/hmin/t_grid carry the time
+    dtype (defaults to the state dtype; pass float64 with float32 state for
+    the f64-time/f32-state hybrid)."""
+    tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
     rtol = jnp.asarray(rtol, dtype)
     atol = jnp.asarray(atol, dtype)
     return RunArgs(
-        tend=jnp.asarray(tend, dtype),
+        tend=jnp.asarray(tend, tdt),
         rtol=rtol, atol=atol,
-        hmax=jnp.asarray(abs(hmax), dtype) if not hasattr(hmax, "dtype") else jnp.abs(hmax),
-        hmin=jnp.asarray(abs(hmin), dtype) if not hasattr(hmin, "dtype") else jnp.abs(hmin),
+        hmax=jnp.asarray(abs(hmax), tdt) if not hasattr(hmax, "dtype") else jnp.abs(hmax).astype(tdt),
+        hmin=jnp.asarray(abs(hmin), tdt) if not hasattr(hmin, "dtype") else jnp.abs(hmin).astype(tdt),
         max_steps=_i32(max_steps),
-        t_grid=jnp.asarray(t_grid, dtype) if t_grid is not None else None,
+        t_grid=jnp.asarray(t_grid, tdt) if t_grid is not None else None,
     )
 

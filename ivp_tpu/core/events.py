@@ -39,6 +39,10 @@ class EvState(NamedTuple):
     n_rec: Any    # (E,) int32 recorded counts (saturating at cap)
     t_buf: Any    # (E, cap)
     y_buf: Any    # (E, cap, n)
+    overflow: Any  # (E,) bool — an occurrence was dropped (buffer full);
+    #                the reference records every occurrence via Vec growth
+    #                (solout.rs:144-146); the fixed-cap TPU buffer instead
+    #                flags truncation so a user can raise event_capacity.
 
 
 class EventOutcome(NamedTuple):
@@ -49,15 +53,18 @@ class EventOutcome(NamedTuple):
     i_term: Any    # int32 index of that event (undefined unless terminal)
 
 
-def init_ev_state(events_fn, t0, y0, spec: EventSpec, dtype) -> EvState:
+def init_ev_state(events_fn, t0, y0, spec: EventSpec, dtype,
+                  time_dtype=None) -> EvState:
     E, cap, n = spec.n_events, spec.cap, y0.shape[-1]
+    tdt = time_dtype if time_dtype is not None else dtype
     g0 = events_fn(t0, y0) if E else jnp.zeros((0,), dtype)
     return EvState(
         g_prev=g0,
         hits=jnp.zeros((E,), jnp.int32),
         n_rec=jnp.zeros((E,), jnp.int32),
-        t_buf=jnp.zeros((E, cap), dtype),
+        t_buf=jnp.zeros((E, cap), tdt),
         y_buf=jnp.zeros((E, cap, n), dtype),
+        overflow=jnp.zeros((E,), bool),
     )
 
 
@@ -127,8 +134,9 @@ def process_events(events_fn, interp, cont, xold, h_used,
     t_term = roots[i_term]
     y_term = y_roots[i_term]
 
+    overflow = ev.overflow | (record & (ev.n_rec >= spec.cap))
     new_state = EvState(g_prev=g_curr, hits=hits, n_rec=jnp.minimum(n_rec, spec.cap),
-                        t_buf=t_buf, y_buf=y_buf)
+                        t_buf=t_buf, y_buf=y_buf, overflow=overflow)
     return EventOutcome(state=new_state, terminal=terminal,
                         t_term=t_term, y_term=y_term,
                         i_term=i_term.astype(jnp.int32))

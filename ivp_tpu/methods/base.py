@@ -55,6 +55,10 @@ class Engine(NamedTuple):
     init: Callable
     attempt: Callable
     interp: Callable
+    # Jacobian evaluations performed inside ``init`` (BDF evaluates the
+    # Jacobian up front; the driver adds this to njev on in-device event
+    # restarts, which re-run ``init`` from the event point).
+    init_njev: int = 0
 
 
 def dotk(coeffs, ks):

@@ -77,10 +77,34 @@ def test_max_steps_cap():
     assert res.status == -1
 
 
-def test_min_step_radau():
-    res = solve_ivp(lambda t, y: -y, (0.0, 1.0), [1.0], method="Radau",
+@pytest.mark.parametrize("method", ["Radau", "BDF"])
+def test_min_step_stiff(method):
+    """min_step accepted by both stiff methods (reference
+    tests/test_step_control.py:164-176)."""
+    res = solve_ivp(lambda t, y: -y, (0.0, 1.0), [1.0], method=method,
                     min_step=1e-10)
     assert res.success
+
+
+def test_max_steps_large_value():
+    """A large max_steps allows completion (reference
+    tests/test_step_control.py:112-126)."""
+    res = solve_ivp(lambda t, y: -y, (0.0, 10.0), [1.0], method="RK45",
+                    max_steps=1_000_000)
+    assert res.success
+    assert res.status == 0
+
+
+def test_default_max_steps_is_unlimited():
+    """Default max_steps is effectively unlimited, not a solver default cap
+    (reference tests/test_step_control.py:129-160)."""
+    res = solve_ivp(lambda t, y: -0.001 * y, (0.0, 100000.0), [1.0],
+                    method="RK45", rtol=1e-8, atol=1e-10)
+    assert res.success, res.message
+    assert res.status == 0
+    # exp(-100) is far below atol; just check the decay went essentially
+    # to zero (the reference test asserts success only).
+    assert abs(res.y[0, -1]) < 1e-8
 
 
 def test_mass_matrix_radau():
