@@ -47,6 +47,23 @@ def _norm_tol(v, B, n, dtype, name):
     return jnp.broadcast_to(a, (n,)), None
 
 
+def _norm_sample_grid(t_eval):
+    """Validate a t_eval grid: (m,) shared or (B, m) per-lane, each lane
+    monotone (the in-loop monotone sample cursor, driver.py, silently
+    mis-samples an unsorted grid — reject it up front)."""
+    grid = np.atleast_1d(np.asarray(t_eval, dtype=float))
+    if grid.ndim > 2:
+        raise ValueError("t_eval must be 1-D (shared) or 2-D (per-lane)")
+    if grid.shape[-1] > 1:
+        d = np.diff(grid, axis=-1)
+        mono = (np.all(d >= 0.0, axis=-1) | np.all(d <= 0.0, axis=-1))
+        if not np.all(mono):
+            raise ValueError(
+                "t_eval must be sorted (monotone in the integration "
+                "direction) for ensemble solvers")
+    return grid
+
+
 class EnsembleResult(NamedTuple):
     t: Any        # (B,) final time per trajectory
     y: Any        # (B, n) final state
@@ -61,6 +78,12 @@ class EnsembleResult(NamedTuple):
     y_samples: Any = None  # (B, m, n) states at the shared t_eval grid
     n_samples: Any = None  # (B,) int32 emitted sample counts
     n_restarts: Any = None  # (B,) int32 in-device event restarts performed
+    event_overflow: Any = None  # (B, E) bool — event occurrences were dropped
+    #                             because the fixed-capacity buffer filled
+    ts: Any = None        # (B, S) recorded per-step times (dense/trajectory mode)
+    ys: Any = None        # (B, S, n) recorded per-step states
+    n_steps_rec: Any = None  # (B,) int32 valid rows in ts/ys
+    sol: Any = None       # batched dense evaluator (dense_output mode)
 
 
 _ENSEMBLE_CACHE = LRUCache(maxsize=64)
@@ -74,7 +97,8 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                           unroll: int = 4, t_eval=None,
                           solver_options: Optional[dict] = None,
                           args_batched: bool = False,
-                          max_restarts: int = 0) -> Callable:
+                          max_restarts: int = 0,
+                          time_dtype=None) -> Callable:
     """Return a jittable ``solver(y0_batch, t0, tf, rtol, atol) -> EnsembleResult``.
 
     The returned function is pure (jit/vmap/shard_map composable); y0_batch has
@@ -96,8 +120,14 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     ``max_restarts`` times per lane — the reference's ModifiedSolution
     control flag (src/solout.rs:73-78) fused into the compiled loop (e.g.
     bouncing-ball ensembles with zero host round-trips).
+
+    ``time_dtype``: pass ``jnp.float64`` with ``dtype=jnp.float32`` for the
+    f64-time/f32-state hybrid — t, h and event times keep f64 resolution
+    while state math runs at f32 speed (fixes the f32 long-horizon limit
+    where ``t + h == t`` once steps fall below the f32 ulp of t).
     """
     dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+    tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
     method = canonical_method(method)
 
     ev_list = list(events) if events else []
@@ -114,10 +144,7 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     sample_grid = None
     sample_cap = 0
     if t_eval is not None:
-        # (m,) shared grid or (B, m) per-lane grids.
-        sample_grid = np.atleast_1d(np.asarray(t_eval, dtype=float))
-        if sample_grid.ndim > 2:
-            raise ValueError("t_eval must be 1-D (shared) or 2-D (per-lane)")
+        sample_grid = _norm_sample_grid(t_eval)
         sample_cap = int(sample_grid.shape[-1])
 
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
@@ -163,14 +190,14 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         ra = run_args(tf, jnp.broadcast_to(rtol, (n,)),
                       jnp.broadcast_to(atol, (n,)),
                       jnp.abs(tf - t0), 0.0, max_steps, dtype,
-                      t_grid=t_grid)
+                      t_grid=t_grid, time_dtype=tdt)
         fs = jnp.asarray(first_step, dtype) if first_step is not None else None
         c = init_carry(t0, y0, fs, ra)
         c = run_chunk(c, ra)
         kw = {}
         if n_ev:
             kw.update(t_events=c.ev.t_buf, y_events=c.ev.y_buf,
-                      n_events=c.ev.n_rec)
+                      n_events=c.ev.n_rec, event_overflow=c.ev.overflow)
         if sample_cap:
             kw.update(y_samples=c.sample_y, n_samples=c.s_cursor)
         if max_restarts:
@@ -179,19 +206,36 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                               nstep=c.nstep, naccpt=c.naccpt, nrejct=c.nrejct,
                               **kw)
 
-    def solver(y0_batch, t0, tf, rtol, atol):
+    def solver(y0_batch, t0, tf, rtol, atol, t_grid=None, batched_args=None):
+        """``t_grid`` / ``batched_args`` override the builder's baked-in
+        t_eval grid / per-lane args with explicitly passed arrays — required
+        when the batch axis is sharded (shard_map slices arguments, not
+        closure constants; parallel/sharding.py)."""
         y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
-        t0_b = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
-        tf_b = jnp.broadcast_to(jnp.asarray(tf, dtype), (B,))
+        t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
+        tf_b = jnp.broadcast_to(jnp.asarray(tf, tdt), (B,))
         rtol_v, ax_r = _norm_tol(rtol, B, n, dtype, "rtol")
         atol_v, ax_a = _norm_tol(atol, B, n, dtype, "atol")
-        if sample_grid is None:
+        if t_grid is not None:
+            grid = jnp.asarray(t_grid, tdt)
+            if sample_cap == 0 or grid.shape[-1] != sample_cap:
+                raise ValueError(
+                    f"explicit t_grid must match the builder's t_eval length "
+                    f"{sample_cap}, got {grid.shape}")
+            ax_g = 0 if grid.ndim == 2 else None
+        elif sample_grid is None:
             grid, ax_g = None, None
         else:
-            grid = jnp.asarray(sample_grid, dtype)
+            grid = jnp.asarray(sample_grid, tdt)
             ax_g = 0 if grid.ndim == 2 else None
-        if args_batched:
+        if batched_args is not None:
+            if not args_batched:
+                raise ValueError(
+                    "explicit batched_args requires args_batched=True")
+            lane_args = tuple(jnp.asarray(a) for a in batched_args)
+            ax_args = tuple(0 for _ in lane_args)
+        elif args_batched:
             lane_args = tuple(jnp.asarray(a) for a in args)
             ax_args = tuple(0 for _ in lane_args)
         else:
@@ -210,7 +254,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                            event_capacity: int = 16,
                            first_step: Optional[float] = None,
                            t_eval=None, solver_options: Optional[dict] = None,
-                           max_restarts: int = 0, unroll: int = 1):
+                           max_restarts: int = 0, unroll: int = 1,
+                           time_dtype=None):
     """Checkpointable ensemble integration (SURVEY.md §5 checkpoint/resume:
     the while-loop carry IS the checkpoint).
 
@@ -224,6 +269,7 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     ``carry.done`` reports per-trajectory completion.
     """
     dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+    tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
     method_c = canonical_method(method)
 
     def rhs(t, y):
@@ -257,10 +303,7 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     sample_grid = None
     sample_cap = 0
     if t_eval is not None:
-        # (m,) shared grid or (B, m) per-lane grids.
-        sample_grid = np.atleast_1d(np.asarray(t_eval, dtype=float))
-        if sample_grid.ndim > 2:
-            raise ValueError("t_eval must be 1-D (shared) or 2-D (per-lane)")
+        sample_grid = _norm_sample_grid(t_eval)
         sample_cap = int(sample_grid.shape[-1])
 
     engine, p = get_engine(method_c, need_cont=bool(n_ev) or sample_cap > 0,
@@ -293,14 +336,14 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                 raise ValueError("t_eval must be sorted in integration direction")
         rtol_v, _ = _norm_tol(rtol, B, n, dtype, "rtol")
         atol_v, _ = _norm_tol(atol, B, n, dtype, "atol")
-        grid = (jnp.asarray(sample_grid, dtype)
+        grid = (jnp.asarray(sample_grid, tdt)
                 if sample_grid is not None else None)
         ra = RunArgs(
-            tend=jnp.asarray(tf, dtype), rtol=rtol_v, atol=atol_v,
-            hmax=jnp.asarray(abs(float(tf) - float(t0)), dtype),
-            hmin=jnp.asarray(0.0, dtype),
+            tend=jnp.asarray(tf, tdt), rtol=rtol_v, atol=atol_v,
+            hmax=jnp.asarray(abs(float(tf) - float(t0)), tdt),
+            hmin=jnp.asarray(0.0, tdt),
             max_steps=jnp.asarray(max_steps, jnp.int32), t_grid=grid)
-        t0_b = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
+        t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
         fs = jnp.asarray(first_step, dtype) if first_step is not None else None
         carry = jax.vmap(lambda y0, tt, r: init_carry(tt, y0, fs, r),
                          in_axes=(0, 0, _ra_axes(ra)))(y0_batch, t0_b, ra)
@@ -315,7 +358,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         kw = {}
         if n_ev:
             kw.update(t_events=carry.ev.t_buf, y_events=carry.ev.y_buf,
-                      n_events=carry.ev.n_rec)
+                      n_events=carry.ev.n_rec,
+                      event_overflow=carry.ev.overflow)
         if sample_cap:
             kw.update(y_samples=carry.sample_y, n_samples=carry.s_cursor)
         if max_restarts:
@@ -334,12 +378,28 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                        event_capacity: int = 16, t_eval=None,
                        chunk_steps: int = 16384,
                        solver_options: Optional[dict] = None,
-                       max_restarts: int = 0) -> EnsembleResult:
+                       max_restarts: int = 0,
+                       dense_output: bool = False,
+                       record_trajectories: bool = False,
+                       rec_chunk: int = 1024,
+                       time_dtype=None) -> EnsembleResult:
     """Batched solve to final state, executed as a host loop of bounded device
     chunks (no single device call runs unboundedly — robust against runtime
-    watchdogs on pathological problems; compiled solver cached)."""
+    watchdogs on pathological problems; compiled solver cached).
+
+    ``record_trajectories=True`` additionally returns every accepted step per
+    lane — ``ts`` (B, S), ``ys`` (B, S, n) padded arrays with per-lane valid
+    counts ``n_steps_rec`` (B,).  ``dense_output=True`` implies recording and
+    also returns ``sol``, a batched :class:`BatchOdeSolution` evaluator whose
+    per-lane interpolants match the single-IVP ``OdeResult.sol`` (reference
+    src/solve/cont.rs:79-153, solout.rs:141-147 — the per-step dense records
+    the ensemble tier previously dropped).  Device memory stays bounded: the
+    loop records into (B, rec_chunk) buffers that the host drains between
+    re-entries, so total steps per lane are unbounded.
+    """
     y0_batch = np.atleast_2d(np.asarray(y0_batch))
     n = y0_batch.shape[1]
+    record = bool(dense_output or record_trajectories)
     key = ("ensemble", canonical_method(method), n, str(dtype),
            _hashable(fun), tuple(_hashable(a) for a in tuple(args)),
            _hashable(jac), max_steps, first_step is not None,
@@ -348,13 +408,26 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
            (np.asarray(t_eval, float).shape,
             np.asarray(t_eval, float).tobytes())
            if t_eval is not None else None,
-           tuple(sorted((solver_options or {}).items())), max_restarts)
+           tuple(sorted((solver_options or {}).items())), max_restarts,
+           record, dense_output, rec_chunk if record else 0,
+           str(time_dtype))
+    if record:
+        entry = _ENSEMBLE_CACHE.get_or_build(
+            key, lambda: build_recording_solver(
+                fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
+                max_steps=max_steps, first_step=first_step, events=events,
+                event_capacity=event_capacity, t_eval=t_eval,
+                solver_options=solver_options, max_restarts=max_restarts,
+                dense_output=dense_output, rec_chunk=rec_chunk,
+                time_dtype=time_dtype))
+        return _run_recording(entry, y0_batch, t_span, rtol, atol, method,
+                              dense_output)
     entry = _ENSEMBLE_CACHE.get_or_build(key, lambda: build_resumable_solver(
         fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
         max_steps=max_steps, first_step=first_step, events=events,
         event_capacity=event_capacity, chunk_steps=chunk_steps,
         t_eval=t_eval, solver_options=solver_options,
-        max_restarts=max_restarts))
+        max_restarts=max_restarts, time_dtype=time_dtype))
     start, resume, extract = entry
     t0, tf = float(t_span[0]), float(t_span[1])
     carry, ra = start(y0_batch, t0, tf, rtol, atol)
@@ -363,4 +436,254 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
         if bool(np.all(np.asarray(carry.done))):
             break
     return extract(carry)
+
+
+# =============================================================================
+# Batched trajectory recording + dense output
+# =============================================================================
+
+class BatchOdeSolution:
+    """Batched continuous solution: one piecewise interpolant per lane.
+
+    Callable like the single-IVP ``OdeSolution`` but over the whole ensemble:
+
+    * ``sol(t)`` with scalar ``t`` -> (B, n)
+    * ``sol(ts)`` with shared grid (m,) -> (B, n, m)
+    * ``sol(ts)`` with per-lane grids (B, m) -> (B, n, m)
+
+    Extrapolates beyond each lane's covered span with its first/last segment
+    (SciPy semantics; reference src/solve/cont.rs:93-153).  Per-lane spans are
+    in ``t_mins`` / ``t_maxs``.
+    """
+
+    def __init__(self, method, interp, xolds, hs, conts, edges, counts,
+                 t0, y0_batch):
+        self.method = method
+        self._interp = interp
+        self._xolds = np.asarray(xolds)    # (B, S)
+        self._hs = np.asarray(hs)          # (B, S)
+        self._conts = np.asarray(conts)    # (B, S, C, n)
+        self._edges = np.asarray(edges)    # (B, S) recorded step endpoints
+        self._counts = np.asarray(counts)  # (B,)
+        self._t0 = float(t0)
+        self._y0 = np.asarray(y0_batch)    # (B, n)
+        B = self._xolds.shape[0]
+        self.n_lanes = B
+        has = self._counts > 0
+        lastv = self._edges[np.arange(B), np.maximum(self._counts - 1, 0)]
+        t_end = np.where(has, lastv, self._t0)
+        t_start = np.where(has, self._xolds[:, 0], self._t0)
+        self.t_mins = np.minimum(t_start, t_end)
+        self.t_maxs = np.maximum(t_start, t_end)
+        self._forward = bool(np.all(t_end >= t_start))
+        # Pad edges past each lane's count so searchsorted never selects a
+        # padded segment (clip keeps queries on the last real one).
+        pad = np.inf if self._forward else -np.inf
+        mask = np.arange(self._edges.shape[1])[None, :] >= self._counts[:, None]
+        self._search_edges = np.where(mask, pad, self._edges)
+
+    def __call__(self, t):
+        t_arr = np.asarray(t, dtype=float)
+        scalar = t_arr.ndim == 0
+        if t_arr.ndim <= 1:
+            ts = np.broadcast_to(np.atleast_1d(t_arr)[None, :],
+                                 (self.n_lanes, np.atleast_1d(t_arr).size))
+        elif t_arr.ndim == 2:
+            if t_arr.shape[0] != self.n_lanes:
+                raise ValueError(
+                    f"per-lane query grid must have leading dim "
+                    f"{self.n_lanes}, got {t_arr.shape}")
+            ts = t_arr
+        else:
+            raise ValueError("query times must be scalar, (m,) or (B, m)")
+
+        B, m = ts.shape
+        if self._xolds.shape[1] == 0:
+            out = np.broadcast_to(self._y0[:, :, None], (B, self._y0.shape[1], m))
+            return out[:, :, 0] if scalar else np.array(out)
+
+        sgn = 1.0 if self._forward else -1.0
+        # (B, m) segment indices via batched searchsorted.
+        idx = np.asarray(jax.vmap(
+            lambda e, tq: jnp.searchsorted(e, tq, side="left"))(
+                jnp.asarray(sgn * self._search_edges), jnp.asarray(sgn * ts)))
+        idx = np.minimum(idx, np.maximum(self._counts[:, None] - 1, 0))
+
+        rows = np.arange(B)[:, None]
+        conts = jnp.asarray(self._conts[rows, idx])  # (B, m, C, n)
+        xolds = jnp.asarray(self._xolds[rows, idx])
+        hs = jnp.asarray(self._hs[rows, idx])
+        ys = jax.vmap(jax.vmap(self._interp))(conts, xolds, hs,
+                                              jnp.asarray(ts))  # (B, m, n)
+        ys = np.transpose(np.asarray(ys), (0, 2, 1))  # (B, n, m)
+        return ys[:, :, 0] if scalar else ys
+
+
+def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
+                           jac=None, max_steps: int = 100_000,
+                           first_step: Optional[float] = None, events=None,
+                           event_capacity: int = 16, t_eval=None,
+                           solver_options: Optional[dict] = None,
+                           max_restarts: int = 0, dense_output: bool = True,
+                           rec_chunk: int = 1024, time_dtype=None):
+    """Vmapped driver with per-lane step recording (rec_cap > 0 under vmap).
+
+    Returns ``(engine, start, run_chunk, reset, dense_output)`` for the
+    chunk-drain host loop in :func:`solve_ivp_ensemble`; the record buffers
+    are plain carry arrays, so the single-IVP recording machinery batches
+    as-is — each lane has its own cursor, and a vmapped chunk stops when
+    every lane is done or full.
+    """
+    dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+    tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
+    method_c = canonical_method(method)
+
+    def rhs(t, y):
+        return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
+
+    jac_fn = None
+    if method_c in ("RADAU", "BDF"):
+        if jac is not None and callable(jac):
+            def jac_fn(t, y):
+                return jnp.asarray(jac(t, y, *args), dtype).reshape(n, n)
+        else:
+            def jac_fn(t, y):
+                return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+
+    ev_list = list(events) if events else []
+    n_ev = len(ev_list)
+    ev_spec = None
+    events_fn = None
+    if n_ev:
+        directions = tuple(int(np.sign(getattr(e, "direction", 0) or 0))
+                           for e in ev_list)
+        terminal_counts = tuple(
+            1 if getattr(e, "terminal", False) is True
+            else int(getattr(e, "terminal", 0) or 0) for e in ev_list)
+        ev_spec = EventSpec(n_ev, directions, terminal_counts, event_capacity)
+
+        def events_fn(t, y):
+            return jnp.stack([jnp.asarray(e(t, y, *args), dtype).reshape(())
+                              for e in ev_list])
+
+    sample_grid = None
+    sample_cap = 0
+    if t_eval is not None:
+        sample_grid = _norm_sample_grid(t_eval)
+        sample_cap = int(sample_grid.shape[-1])
+
+    need_cont = bool(dense_output or n_ev or sample_cap)
+    engine, p = get_engine(method_c, need_cont=need_cont, jac_fn=jac_fn, n=n,
+                           **(solver_options or {}))
+    cfg = DriverConfig(rec_cap=rec_chunk, record_cont=dense_output,
+                       ncoeff=engine.ncoeff, event_spec=ev_spec,
+                       sample_cap=sample_cap, max_restarts=max_restarts)
+    restart_fns = [getattr(e, "restart", None) for e in ev_list]
+    init_carry, run_chunk, reset, _ = make_driver(engine, p, cfg, rhs,
+                                                  events_fn, restart_fns)
+
+    def _ra_axes(ra: RunArgs) -> RunArgs:
+        return RunArgs(
+            tend=None,
+            rtol=0 if ra.rtol.ndim == 2 else None,
+            atol=0 if ra.atol.ndim == 2 else None,
+            hmax=None, hmin=None, max_steps=None,
+            t_grid=(0 if (ra.t_grid is not None and ra.t_grid.ndim == 2)
+                    else None),
+        )
+
+    def start(y0_batch, t0, tf, rtol, atol):
+        y0_batch = jnp.asarray(y0_batch, dtype)
+        B = y0_batch.shape[0]
+        rtol_v, _ = _norm_tol(rtol, B, n, dtype, "rtol")
+        atol_v, _ = _norm_tol(atol, B, n, dtype, "atol")
+        grid = (jnp.asarray(sample_grid, tdt)
+                if sample_grid is not None else None)
+        ra = RunArgs(
+            tend=jnp.asarray(tf, tdt), rtol=rtol_v, atol=atol_v,
+            hmax=jnp.asarray(abs(float(tf) - float(t0)), tdt),
+            hmin=jnp.asarray(0.0, tdt),
+            max_steps=jnp.asarray(max_steps, jnp.int32), t_grid=grid)
+        t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
+        fs = jnp.asarray(first_step, dtype) if first_step is not None else None
+        carry = jax.vmap(lambda y0, tt, r: init_carry(tt, y0, fs, r),
+                         in_axes=(0, 0, _ra_axes(ra)))(y0_batch, t0_b, ra)
+        return carry, ra
+
+    @jax.jit
+    def run_vchunk(carry, ra):
+        return jax.vmap(run_chunk, in_axes=(0, _ra_axes(ra)))(carry, ra)
+
+    vreset = jax.jit(jax.vmap(reset))
+    return engine, start, run_vchunk, vreset, dense_output
+
+
+def _run_recording(entry, y0_batch, t_span, rtol, atol, method,
+                   dense_output) -> EnsembleResult:
+    """Host chunk-drain loop for the recording solver: scatter each chunk's
+    per-lane records into growing padded arrays (vectorized, no per-lane
+    Python loop)."""
+    engine, start, run_vchunk, vreset, _ = entry
+    t0, tf = float(t_span[0]), float(t_span[1])
+    B, n = y0_batch.shape
+    carry, ra = start(y0_batch, t0, tf, rtol, atol)
+
+    chunks = []  # (n_rec (B,), rec_t, rec_y, rec_xold, rec_h, rec_cont)
+    while True:
+        carry = run_vchunk(carry, ra)
+        k = np.asarray(carry.n_rec)
+        if k.any():
+            chunks.append((k, np.asarray(carry.rec_t),
+                           np.asarray(carry.rec_y),
+                           np.asarray(carry.rec_xold),
+                           np.asarray(carry.rec_h),
+                           np.asarray(carry.rec_cont) if dense_output
+                           else None))
+        if bool(np.all(np.asarray(carry.done))):
+            break
+        carry = vreset(carry)
+
+    counts = (np.sum([c[0] for c in chunks], axis=0).astype(np.int64)
+              if chunks else np.zeros((B,), np.int64))
+    S = int(counts.max()) if chunks else 0
+    C = engine.ncoeff
+    ts = np.zeros((B, S))
+    ys = np.zeros((B, S, n))
+    xolds = np.zeros((B, S))
+    hs = np.zeros((B, S))
+    conts = np.zeros((B, S, C, n)) if dense_output else None
+    offs = np.zeros((B,), np.int64)
+    for k, ct, cy, cx, ch, cc in chunks:
+        cap = ct.shape[1]
+        mask = np.arange(cap)[None, :] < k[:, None]            # (B, cap)
+        rows, cols_in = np.nonzero(mask)
+        cols_out = offs[rows] + cols_in
+        ts[rows, cols_out] = ct[rows, cols_in]
+        ys[rows, cols_out] = cy[rows, cols_in]
+        xolds[rows, cols_out] = cx[rows, cols_in]
+        hs[rows, cols_out] = ch[rows, cols_in]
+        if dense_output:
+            conts[rows, cols_out] = cc[rows, cols_in]
+        offs = offs + k
+
+    kw = dict(ts=ts, ys=ys, n_steps_rec=counts)
+    if dense_output:
+        kw["sol"] = BatchOdeSolution(method, engine.interp, xolds, hs, conts,
+                                     ts, counts, t0, y0_batch)
+    ev = carry.ev
+    n_ev = int(np.asarray(ev.hits).shape[-1])
+    if n_ev:
+        kw.update(t_events=np.asarray(ev.t_buf), y_events=np.asarray(ev.y_buf),
+                  n_events=np.asarray(ev.n_rec),
+                  event_overflow=np.asarray(ev.overflow))
+    if carry.sample_y.shape[-2]:
+        kw.update(y_samples=np.asarray(carry.sample_y),
+                  n_samples=np.asarray(carry.s_cursor))
+    kw.update(n_restarts=np.asarray(carry.n_restarts))
+    return EnsembleResult(t=np.asarray(carry.t), y=np.asarray(carry.y),
+                          status=np.asarray(carry.status),
+                          nfev=np.asarray(carry.nfev),
+                          nstep=np.asarray(carry.nstep),
+                          naccpt=np.asarray(carry.naccpt),
+                          nrejct=np.asarray(carry.nrejct), **kw)
 
