@@ -74,6 +74,10 @@ INV_AUTO_N = 8
 
 
 def _backend_kind(p) -> str:
+    if p.linear_mode not in ("auto", "lu", "inverse", "banded"):
+        raise ValueError(
+            f"linear_mode must be one of 'auto', 'lu', 'inverse', 'banded'; "
+            f"got {p.linear_mode!r}")
     if p.linear_mode in ("inverse", "lu"):
         return p.linear_mode
     if p.linear_mode == "banded":
@@ -205,16 +209,31 @@ def change_d(D, order, factor):
     constant C_d (see _change_d_poly_coeffs) — everything is elementwise /
     broadcast arithmetic (tiny batched dot_generals under vmap measured
     ~20x slower than the whole rest of the BDF step on TPU, and cumprod
-    miscompiles for f64 on some TPU runtimes).
+    miscompiles for f64 on some TPU runtimes).  Row i of P is a degree-i
+    polynomial (C[d,i,:] == 0 for d > i), so the evaluation is row-sparse:
+    90 multiplies instead of a dense 180-multiply Horner — this runs every
+    attempt of every lane, and emulated-f64 multiplies dominate the BDF
+    ensemble's step cost.
+
+    Rescaling is compositional — change_d(change_d(D, o, f1), o, f2) ==
+    change_d(D, o, f1*f2) — because rows 0..order of D are a linear image of
+    one interpolating polynomial and the rescale depends only on the final
+    spacing; callers fold consecutive rescales into one call.
     """
     size = MAX_ORDER + 1  # 6
     dtype = D.dtype
     C = jnp.asarray(_CHANGE_D_C, dtype)
 
-    # P = sum_d f^d C_d via Horner.
-    P = C[size - 1]
-    for d in range(size - 2, -1, -1):
-        P = P * factor + C[d]
+    f2 = factor * factor
+    f3 = f2 * factor
+    pw = (None, factor, f2, f3, f2 * f2, f3 * f2)
+    rows = []
+    for i in range(size):
+        acc = C[0, i]
+        for d in range(1, i + 1):
+            acc = acc + pw[d] * C[d, i]
+        rows.append(acc)
+    P = jnp.stack(rows)
 
     k = jnp.arange(size)
     in_blk = (k[:, None] <= order) & (k[None, :] <= order)
@@ -230,26 +249,29 @@ def make_bdf_init(jac_fn, p: BDFParams):
 
     def init(rhs, t0, y0, first_step, ra: RunArgs, p_):
         dtype = y0.dtype
+        tdt = ra.tend.dtype  # time dtype (f64-time/f32-state hybrid aware)
         posneg = jnp.sign(ra.tend - t0)
         f0 = rhs(t0, y0)
         jac = jac_fn(t0, y0)
         if first_step is not None:
-            h_abs = jnp.abs(first_step)
+            h_abs = jnp.abs(first_step).astype(tdt)
             nfev = 1
         else:
             h, _ = hinit(rhs, t0, y0, posneg, f0, 1, ra.hmax, ra.atol, ra.rtol)
-            h_abs = jnp.minimum(jnp.abs(h), jnp.abs(ra.tend - t0))
+            h_abs = jnp.abs(h).astype(tdt)
             nfev = 2
-        h_abs = jnp.minimum(h_abs, ra.hmax)
+        # Establish the attempt invariant: h_abs feasible (no tend overshoot,
+        # <= hmax) so D is built consistent and attempts skip start clamping.
+        h_abs = jnp.minimum(jnp.minimum(h_abs, jnp.abs(ra.tend - t0)), ra.hmax)
 
         D = jnp.zeros((MAX_ORDER + 3, n), dtype)
         D = D.at[0].set(y0)
-        D = D.at[1].set(f0 * h_abs * posneg)
+        D = D.at[1].set(f0 * (h_abs * posneg).astype(dtype))
         lin0 = make_linear_backend(p)[2](dtype)
         ms = BDFState(
             h_abs=h_abs, posneg=posneg, D=D, order=_i32(1), n_equal=_i32(0),
             jac=jac, lin=lin0,
-            lu_current=jnp.zeros((), bool), current_c=jnp.zeros((), dtype),
+            lu_current=jnp.zeros((), bool), current_c=jnp.zeros((), tdt),
         )
         return ms, nfev
 
@@ -279,31 +301,14 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         n_equal = ms.n_equal
         lu_current = ms.lu_current
 
-        # ---- h clamping with D rescaling (bdf.rs:287-322), the three
-        #      rescalings composed into one change_d (rescaling by f1 then f2
-        #      equals rescaling by f1*f2) ----
-        over = h_abs > ra.hmax
-        fac_over = jnp.where(over, ra.hmax / h_abs, 1.0)
-        h_abs = jnp.minimum(h_abs, ra.hmax)
-
-        under = (h_abs < ra.hmin) & (ra.hmin > 0.0)
-        fac_min = jnp.where(
-            under, jnp.maximum(ra.hmin / jnp.maximum(h_abs, 1e-300), 1.0), 1.0)
-        h_abs = jnp.maximum(h_abs, jnp.where(under, ra.hmin, 0.0))
-
+        # h/D clamping (bdf.rs:287-322) happens at the END of the previous
+        # attempt, folded into its outcome rescale — h_abs and D arrive here
+        # already consistent and feasible (<= hmax, >= hmin, no tend
+        # overshoot), so each attempt runs exactly ONE change_d instead of
+        # two (change_d dominates the emulated-f64 multiply count of the
+        # whole attempt for small n).  ``init`` establishes the invariant.
         h_signed = posneg * h_abs
-        overshoot = posneg * (t + h_signed - ra.tend) > 0.0
-        step_to_end = jnp.abs(ra.tend - t)
-        fac_end = jnp.where(
-            overshoot, step_to_end / jnp.maximum(h_abs, 1e-300), 1.0)
-        h_abs = jnp.where(overshoot, step_to_end, h_abs)
-        h_signed = posneg * h_abs
-
-        clamped = over | under | overshoot
-        D = change_d(D, order, fac_over * fac_min * fac_end)
-        n_equal = jnp.where(clamped, 0, n_equal)
-        lu_current = lu_current & ~clamped
-        last = overshoot | (posneg * (t + h_signed - ra.tend) >= 0.0)
+        last = posneg * (t + h_signed - ra.tend) >= 0.0
         x_new = jnp.where(last, ra.tend, t + h_signed)
 
         too_small = (h_abs < 1e-290) | ((t + 0.1 * jnp.abs(h_signed)) == t)
@@ -312,6 +317,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         y_predict = _masked_sum(D, 0, order)
         scale = ra.atol + ra.rtol * jnp.abs(y_predict)
         scale = jnp.where(scale == 0.0, EPS, scale)
+        inv_scale = 1.0 / scale  # hoisted: emulated-f64 division is costly
         r = _rows()
         gmask = ((r >= 1) & (r <= order))[:, None]
         gfull = jnp.concatenate([jnp.asarray(gamma, dtype),
@@ -323,14 +329,15 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         alpha_ord = sel(jnp.asarray(alpha, dtype), order)
         psi = psi / alpha_ord
 
-        c = h_signed / alpha_ord
+        c = h_signed / alpha_ord  # time precision (hybrid-aware)
+        cy = c.astype(dtype)      # state-space c for matrix build / Newton
 
         # ---- LU (re)build (bdf.rs:356-383) ----
         drift = jnp.abs(c - ms.current_c) / jnp.maximum(jnp.abs(c), 1.0) > 0.1
         rebuild = (~lu_current) | drift
 
         def build():
-            m = jnp.eye(n, dtype=dtype) - c * ms.jac
+            m = jnp.eye(n, dtype=dtype) - cy * ms.jac
             return factor(m)
 
         lin, sing = lax.cond(rebuild, build,
@@ -353,9 +360,9 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         def nbody(s):
             maxed = s["it"] >= p.newton_maxiter
             f = rhs(x_new, s["y_new"])
-            rhs_v = c * f - psi - s["delta"]
+            rhs_v = cy * f - psi - s["delta"]
             dy = solve(lin, rhs_v)
-            dy_norm = jnp.sqrt(jnp.mean((dy / scale) ** 2))
+            dy_norm = jnp.sqrt(jnp.mean((dy * inv_scale) ** 2))
 
             has_prev = s["prev"] >= 0.0
             rate = dy_norm / jnp.maximum(s["prev"], 1e-300)
@@ -404,10 +411,11 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
         scale2 = ra.atol + ra.rtol * jnp.abs(y_new)
         scale2 = jnp.where(scale2 == 0.0, EPS, scale2)
+        inv_scale2 = 1.0 / scale2
         ec = jnp.asarray(error_const, dtype)
         ec_ord = sel(ec, order)
         err_vec = ec_ord * delta
-        error_norm = jnp.sqrt(jnp.mean((err_vec / scale2) ** 2))
+        error_norm = jnp.sqrt(jnp.mean((err_vec * inv_scale2) ** 2))
 
         accepted = converged & (error_norm <= 1.0)
         err_reject = converged & (error_norm > 1.0)
@@ -446,17 +454,19 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
         ec_m = sel(ec, order - 1)
         ec_p = sel(ec, order + 1)
-        row_ord = jnp.sum(jnp.where((_rows() == order)[:, None], D_acc, 0.0),
-                          axis=0)
-        row_op2 = jnp.sum(jnp.where((_rows() == order + 2)[:, None], D_acc, 0.0),
-                          axis=0)
+        # Rows of the UPDATED array by identity instead of masked extraction:
+        # D_acc[order]   = D[order] + delta   (suffix sweep, rows <= order+1)
+        # D_acc[order+2] = delta - D[order+1]
+        row_ord = jnp.sum(jnp.where((_rows() == order)[:, None], D, 0.0),
+                          axis=0) + delta
+        row_op2 = delta - row_op1
         err_m = jnp.where(
             order > 1,
-            jnp.sqrt(jnp.mean((ec_m * row_ord / scale2) ** 2)),
+            jnp.sqrt(jnp.mean((ec_m * row_ord * inv_scale2) ** 2)),
             jnp.inf)
         err_p = jnp.where(
             order < MAX_ORDER,
-            jnp.sqrt(jnp.mean((ec_p * row_op2 / scale2) ** 2)),
+            jnp.sqrt(jnp.mean((ec_p * row_op2 * inv_scale2) ** 2)),
             jnp.inf)
         errors = jnp.stack([err_m, error_norm, err_p])
         exponents = -1.0 / (order.astype(dtype) + jnp.arange(3, dtype=dtype))
@@ -467,7 +477,6 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         step_factor = jnp.minimum(MAX_FACTOR, safety * jnp.max(factors))
 
         order_next = jnp.where(adapt, new_order, order)
-        h_abs_adapt = h_abs * step_factor
         order_changed = adapt & (new_order != order)
         jac_after = lax.cond(order_changed,
                              lambda: jac_fn(x_new, y_new), lambda: jac_new)
@@ -479,23 +488,34 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
             safety * safe_pow(error_norm, -1.0 / (order.astype(dtype) + 1.0)),
             MIN_FACTOR)
 
-        # One merged rescaling for all outcome cases (change_d dominates the
-        # attempt's elementwise-op count; 3 calls/attempt merged to 2):
-        #   adapt:          change_d(D_acc, new_order, step_factor)
-        #   accept, !adapt: factor 1.0 => D_acc unchanged
-        #   reject:         change_d(D, order, fac_down)
-        fac_down = jnp.where(adapt, step_factor,
+        # One merged rescaling for ALL outcome cases AND the next step's
+        # hmax/hmin/tend clamping (bdf.rs:287-322), composed into a single
+        # change_d (rescaling by f1 then f2 equals rescaling by f1*f2):
+        #   adapt:          step_factor        (bdf.rs:552-606)
+        #   accept, !adapt: 1.0
+        #   newton fail:    0.5                (bdf.rs:448-459)
+        #   error reject:   fac_rej            (bdf.rs:471-489)
+        # times the clamp correction h1/h_des.
+        fac_case = jnp.where(adapt, step_factor,
                              jnp.where(accepted, 1.0,
                                        jnp.where(newton_fail, fac_fail,
                                                  fac_rej)))
+        t_next = jnp.where(accepted, x_new, t)
+        h_des = h_abs * fac_case
+        h1 = jnp.minimum(h_des, ra.hmax)
+        h1 = jnp.where((h1 < ra.hmin) & (ra.hmin > 0.0), ra.hmin, h1)
+        overshoot = posneg * (t_next + posneg * h1 - ra.tend) > 0.0
+        h1 = jnp.where(overshoot, jnp.abs(ra.tend - t_next), h1)
+        clamp_changed = h1 != h_des
+
         D_in = jnp.where(accepted, D_acc, D)
         ord_in = jnp.where(adapt, new_order, order)
-        D_next = change_d(D_in, ord_in, fac_down)
-        h_next = jnp.where(accepted, jnp.where(adapt, h_abs_adapt, h_abs),
-                           jnp.where(newton_fail, h_abs * fac_fail,
-                                     h_abs * fac_rej))
-        n_equal_next = jnp.where(accepted, jnp.where(adapt, 0, n_equal_acc), 0)
-        lu_next = lu_current & ~newton_fail & ~adapt
+        f_total = h1 / jnp.maximum(h_abs, 1e-300)
+        D_next = change_d(D_in, ord_in, f_total.astype(dtype))
+        h_next = h1
+        n_equal_next = jnp.where(accepted & ~adapt & ~clamp_changed,
+                                 n_equal_acc, 0)
+        lu_next = lu_current & ~newton_fail & ~adapt & ~clamp_changed
 
         # NaN backstop: a non-finite step size or state means the
         # integration is irrecoverable; stop instead of looping.
@@ -531,10 +551,11 @@ def bdf_interp(cont, xold, h, ti):
     """
     order_f = cont[MAX_ORDER + 1, 0]
     x_new = xold + h
-    k = jnp.arange(MAX_ORDER, dtype=cont.dtype)
+    tdt = jnp.result_type(xold, h)
+    k = jnp.arange(MAX_ORDER, dtype=tdt)
     denom = h * (k + 1.0)
     t_shift = x_new - h * k
-    x_factors = (ti - t_shift) / denom
+    x_factors = ((ti - t_shift) / denom).astype(cont.dtype)
     pk = jnp.cumprod(x_factors)
     mask = k < order_f
     return cont[0] + jnp.sum(
@@ -548,5 +569,6 @@ def make_engine(need_cont: bool, *, jac_fn, const_jac=False, n=0, **overrides):
     init = make_bdf_init(jac_fn, p)
     attempt = make_bdf_attempt(jac_fn, p)
     eng = Engine(name="BDF", ncoeff=MAX_ORDER + 2 if need_cont else 0,
-                 init=init, attempt=attempt, interp=bdf_interp)
+                 init=init, attempt=attempt, interp=bdf_interp,
+                 init_njev=0 if const_jac else 1)
     return eng, p
