@@ -127,11 +127,21 @@ def _dae_partition(p: RadauParams, n: int):
 
 
 def _backend_kind(p: RadauParams) -> str:
+    if p.linear_mode not in ("auto", "lu", "inverse", "banded"):
+        raise ValueError(
+            f"linear_mode must be one of 'auto', 'lu', 'inverse', 'banded'; "
+            f"got {p.linear_mode!r}")
     if p.linear_mode in ("inverse", "lu"):
         return p.linear_mode
     if p.linear_mode == "banded":
         if p.band is None:
             raise ValueError("linear_mode='banded' requires band=(ml, mu)")
+        if p.has_mass:
+            # blocks_from_dense would silently drop mass-matrix entries
+            # outside the Jacobian band; refuse instead of truncating.
+            raise ValueError(
+                "linear_mode='banded' does not support a mass matrix (its "
+                "band is not tracked); use 'lu', 'inverse' or 'auto'")
         return "banded"
     # auto: small systems invert outright; large narrow-band systems (no
     # mass matrix — its band is not tracked) use cyclic reduction; else LU.
@@ -239,23 +249,23 @@ def make_radau_init(jac_fn, mass_mat, p: RadauParams):
 
     def init(rhs, t0, y0, first_step, ra: RunArgs, p_):
         dtype = y0.dtype
+        tdt = ra.tend.dtype  # time dtype (f64-time/f32-state hybrid aware)
         posneg = jnp.sign(ra.tend - t0)
         if first_step is not None:
-            h = jnp.abs(first_step) * posneg
+            h = (jnp.abs(first_step) * posneg).astype(tdt)
         else:
-            h = 1.0e-6 * posneg  # reference radau.rs:250-255
+            h = (1.0e-6 * posneg).astype(tdt)  # reference radau.rs:250-255
         h = jnp.clip(h, -ra.hmax, ra.hmax)
         f0 = rhs(t0, y0)
         rtol_t, atol_t = _transform_tols(ra)
         scal = atol_t + rtol_t * jnp.abs(y0)
-        zero = jnp.zeros((), dtype)
         ms = RadauState(
             h=h, hold=h, posneg=posneg, f0=f0,
             cont=jnp.zeros((4, n), dtype), scal=scal,
             first=jnp.ones((), bool), reject=jnp.zeros((), bool),
             last=jnp.zeros((), bool),
             faccon=jnp.ones((), dtype), theta=jnp.full((), p.thet, dtype),
-            hhfac=h, h_acc=zero, err_acc=zero,
+            hhfac=h, h_acc=jnp.zeros((), tdt), err_acc=jnp.zeros((), dtype),
             call_jac=jnp.ones((), bool), call_decomp=jnp.ones((), bool),
             singular=_i32(0),
             jac=jnp.zeros((n, n), dtype),
@@ -290,9 +300,11 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
             return v
 
     def build_matrices(h, jac):
-        fac1 = U1 / h
-        alphn = ALPH / h
-        betan = BETA / h
+        # 1/h terms computed in time precision, cast to the state dtype for
+        # the matrix build (hybrid-aware; no-op when dtypes match).
+        fac1 = (U1 / h).astype(jac.dtype)
+        alphn = (ALPH / h).astype(jac.dtype)
+        betan = (BETA / h).astype(jac.dtype)
         if p.has_mass:
             e1 = fac1 * M - jac
             e2r = alphn * M - jac
@@ -349,16 +361,18 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         # (skipped on singular-decomposition retries, which in the reference
         # restart before this point)
         scal = ms.scal
+        if n2 > 0 or n3 > 0:
+            hf = ms.hhfac.astype(dtype)
         if n2 > 0:
             scal = scal.at[n1:n1 + n2].set(
-                jnp.where(sing, scal[n1:n1 + n2], scal[n1:n1 + n2] / ms.hhfac))
+                jnp.where(sing, scal[n1:n1 + n2], scal[n1:n1 + n2] / hf))
         if n3 > 0:
             scal = scal.at[n1 + n2:].set(
-                jnp.where(sing, scal[n1 + n2:], scal[n1 + n2:] / (ms.hhfac ** 2)))
+                jnp.where(sing, scal[n1 + n2:], scal[n1 + n2:] / (hf ** 2)))
 
         # ---- Newton starting values (extrapolate previous collocation
         #      polynomial; radau.rs:447-475) ----
-        c3q = h / ms.hold
+        c3q = (h / ms.hold).astype(dtype)
         c1q = C1 * c3q
         c2q = C2 * c3q
         ak1, ak2, ak3 = ms.cont[1], ms.cont[2], ms.cont[3]
@@ -376,9 +390,9 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         f2_0 = jnp.where(ms.first, 0.0, f2_0)
         f3_0 = jnp.where(ms.first, 0.0, f3_0)
 
-        fac1 = U1 / h
-        alphn = ALPH / h
-        betan = BETA / h
+        fac1 = (U1 / h).astype(dtype)
+        alphn = (ALPH / h).astype(dtype)
+        betan = (BETA / h).astype(dtype)
 
         # ---- Simplified Newton iteration (radau.rs:477-618) ----
         faccon0 = jnp.maximum(ms.faccon, p.uround) ** 0.8
@@ -438,7 +452,8 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
             dyth = faccon * dyno * theta ** rem / newton_tol
             diverged = check & ok_theta & (dyth >= 1.0)
             qnewt = jnp.clip(dyth, 1e-4, 20.0)
-            hhfac_div = 0.8 * qnewt ** (-1.0 / (4.0 + rem))
+            hhfac_div = (0.8 * qnewt ** (-1.0 / (4.0 + rem))).astype(
+                s["hhfac"].dtype)
             hhfac = jnp.where(diverged, hhfac_div, s["hhfac"])
             bad_theta = check & ~ok_theta
 
@@ -481,7 +496,7 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         z1, z2, z3 = nres["z1"], nres["z2"], nres["z3"]
 
         # ---- Error estimation (radau.rs:620-667) ----
-        hee = DD / h
+        hee = (DD / h).astype(dtype)
         f1e = hee[0] * z1 + hee[1] * z2 + hee[2] * z3
         f2e = mdot(f1e)
         err_vec = solve1(lin, f2e + ms.f0)
@@ -554,8 +569,9 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
 
         # ---- Reject paths ----
         # err > 1 (radau.rs:777-792)
+        tdt = h.dtype
         h_rej = jnp.where(ms.first, h * 0.1, hnew)
-        hhfac_rej = jnp.where(ms.first, jnp.full((), 0.1, dtype), hnew / h)
+        hhfac_rej = jnp.where(ms.first, jnp.full((), 0.1, tdt), hnew / h)
         # Newton divergence (code DIVERGED): h *= hhfac from the loop.
         h_div = h * nres["hhfac"]
         # Newton maxiter / theta blow-up / singular decomposition: halve.
@@ -569,7 +585,7 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
                                      jnp.where(broke, h_half, h_rej)))
         hhfac_next = jnp.where(accepted, hhfac_acc,
                                jnp.where(diverged, nres["hhfac"],
-                                         jnp.where(broke, jnp.full((), 0.5, dtype),
+                                         jnp.where(broke, jnp.full((), 0.5, tdt),
                                                    hhfac_rej)))
         call_decomp_next = jnp.where(accepted, call_decomp_acc, True)
         call_jac_next = jnp.where(accepted, call_jac_acc, ms.call_jac)
@@ -627,7 +643,7 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
 
 def radau_interp(cont, xold, h, ti):
     """Collocation interpolant in s = (t - (xold+h))/h (radau.rs:798-809)."""
-    s = (ti - (xold + h)) / h
+    s = ((ti - (xold + h)) / h).astype(cont.dtype)
     return cont[0] + s * (cont[1] + (s - float(tab.RADAU_C2M1)) *
                           (cont[2] + (s - float(tab.RADAU_C1M1)) * cont[3]))
 
