@@ -99,19 +99,22 @@ def dopri5_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     too_small = 0.1 * jnp.abs(h) <= jnp.abs(t) * p.uround
     last = (t + 1.01 * h - ra.tend) * posneg > 0.0
     h = jnp.where(last, ra.tend - t, h)
+    # State-space h: under the f64-time/f32-state hybrid t/h carry f64 while
+    # the state math stays in y's dtype (no-op cast otherwise).
+    hy = h.astype(y.dtype)
 
     k1 = ms.k1
-    k2 = rhs(t + C[1] * h, y + h * dotk(A[0], [k1]))
-    k3 = rhs(t + C[2] * h, y + h * dotk(A[1], [k1, k2]))
-    k4 = rhs(t + C[3] * h, y + h * dotk(A[2], [k1, k2, k3]))
-    k5 = rhs(t + C[4] * h, y + h * dotk(A[3], [k1, k2, k3, k4]))
-    ysti = y + h * dotk(A[4], [k1, k2, k3, k4, k5])
+    k2 = rhs(t + C[1] * h, y + hy * dotk(A[0], [k1]))
+    k3 = rhs(t + C[2] * h, y + hy * dotk(A[1], [k1, k2]))
+    k4 = rhs(t + C[3] * h, y + hy * dotk(A[2], [k1, k2, k3]))
+    k5 = rhs(t + C[4] * h, y + hy * dotk(A[3], [k1, k2, k3, k4]))
+    ysti = y + hy * dotk(A[4], [k1, k2, k3, k4, k5])
     k6 = rhs(t + h, ysti)
-    ynew = y + h * dotk(A[5], [k1, k2, k3, k4, k5, k6])
+    ynew = y + hy * dotk(A[5], [k1, k2, k3, k4, k5, k6])
     k7 = rhs(t + h, ynew)
     ks = [k1, k2, k3, k4, k5, k6, k7]
 
-    err_vec = h * dotk(E, ks)
+    err_vec = hy * dotk(E, ks)
     sk = ra.atol + ra.rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
     err = scaled_rms(err_vec, sk)
 
@@ -122,7 +125,7 @@ def dopri5_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     stnum = jnp.sum((k7 - k6) ** 2)
     stden = jnp.sum((ynew - ysti) ** 2)
     hlamb = jnp.where(do_stiff & (stden > 0.0),
-                      jnp.abs(h) * jnp.sqrt(stnum / stden), ms.hlamb)
+                      jnp.abs(hy) * jnp.sqrt(stnum / stden), ms.hlamb)
     is_stiff = hlamb > p.stiff_threshold
     iasti = jnp.where(do_stiff, jnp.where(is_stiff, ms.iasti + 1, ms.iasti), ms.iasti)
     nonstiff = jnp.where(do_stiff,
@@ -135,8 +138,8 @@ def dopri5_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     # --- Dense output (reference dopri5.rs:329-334, 393-403) ---
     if p.need_cont:
         ydiff = ynew - y
-        bspl = h * k1 - ydiff
-        cont = jnp.stack([y, ydiff, bspl, -h * k7 + ydiff - bspl, h * dotk(D, ks)])
+        bspl = hy * k1 - ydiff
+        cont = jnp.stack([y, ydiff, bspl, -hy * k7 + ydiff - bspl, hy * dotk(D, ks)])
     else:
         cont = jnp.zeros((0,) + y.shape, y.dtype)
 
@@ -175,7 +178,9 @@ def dopri5_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
 
 
 def dopri5_interp(cont, xold, h, ti):
-    theta = (ti - xold) / h
+    # Time ratio in time precision (f64 under the hybrid), state math in
+    # the cont dtype.
+    theta = ((ti - xold) / h).astype(cont.dtype)
     theta1 = 1.0 - theta
     return cont[0] + theta * (
         cont[1] + theta1 * (cont[2] + theta * (cont[3] + theta1 * cont[4]))
@@ -197,14 +202,15 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     too_small = 0.1 * jnp.abs(h) <= jnp.abs(t) * p.uround
     last = (t + 1.01 * h - ra.tend) * posneg > 0.0
     h = jnp.where(last, ra.tend - t, h)
+    hy = h.astype(y.dtype)  # state-space h (f64-time/f32-state hybrid)
 
     ks = [ms.k1]
     for i, row in enumerate(tab.DOP853_A):
-        ks.append(rhs(t + C[i + 1] * h, y + h * dotk(row, ks)))
-    y12 = y + h * dotk(tab.DOP853_A[-1], ks[:-1])  # stage-12 state (stiffness test)
+        ks.append(rhs(t + C[i + 1] * h, y + hy * dotk(row, ks)))
+    y12 = y + hy * dotk(tab.DOP853_A[-1], ks[:-1])  # stage-12 state (stiffness test)
 
     kb = dotk(tab.DOP853_B, ks)
-    ynew = y + h * kb
+    ynew = y + hy * kb
 
     sk = ra.atol + ra.rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
     bh1, bh2, bh3 = tab.DOP853_BH
@@ -214,7 +220,7 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     err5 = jnp.sum((err5_vec / sk) ** 2)
     deno = err5 + 0.01 * err2
     deno = jnp.where(deno <= 0.0, 1.0, deno)
-    err = jnp.abs(h) * err5 * jnp.sqrt(1.0 / (n * deno))
+    err = jnp.abs(hy) * err5 * jnp.sqrt(1.0 / (n * deno))
 
     accepted = (err <= 1.0) & ~too_small
 
@@ -227,11 +233,11 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
         f_new = rhs(t + h, ynew)
         if p.need_cont:
             k_ext = ks + [f_new]
-            k14 = rhs(t + tab.DOP853_C14 * h, y + h * dotk(tab.DOP853_A14, k_ext))
+            k14 = rhs(t + tab.DOP853_C14 * h, y + hy * dotk(tab.DOP853_A14, k_ext))
             k15 = rhs(t + tab.DOP853_C15 * h,
-                      y + h * dotk(tab.DOP853_A15, k_ext + [k14]))
+                      y + hy * dotk(tab.DOP853_A15, k_ext + [k14]))
             k16 = rhs(t + tab.DOP853_C16 * h,
-                      y + h * dotk(tab.DOP853_A16, k_ext + [k14, k15]))
+                      y + hy * dotk(tab.DOP853_A16, k_ext + [k14, k15]))
             return f_new, k14, k15, k16
         z = jnp.zeros_like(y)
         return f_new, z, z, z
@@ -248,7 +254,7 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     stnum = jnp.sum((f_new - ks[11]) ** 2)
     stden = jnp.sum((ynew - y12) ** 2)
     hlamb = jnp.where(do_stiff & (stden > 0.0),
-                      jnp.abs(h) * jnp.sqrt(stnum / stden), ms.hlamb)
+                      jnp.abs(hy) * jnp.sqrt(stnum / stden), ms.hlamb)
     is_stiff = hlamb > p.stiff_threshold
     iasti = jnp.where(do_stiff, jnp.where(is_stiff, ms.iasti + 1, ms.iasti), ms.iasti)
     nonstiff = jnp.where(do_stiff,
@@ -262,10 +268,10 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     if p.need_cont:
         k_all = ks + [f_new, k14, k15, k16]
         ydiff = ynew - y
-        bspl = h * ks[0] - ydiff
-        rows = [y, ydiff, bspl, ydiff - h * f_new - bspl]
+        bspl = hy * ks[0] - ydiff
+        rows = [y, ydiff, bspl, ydiff - hy * f_new - bspl]
         for r in range(4, 8):
-            rows.append(h * dotk(tab.DOP853_D[r], k_all))
+            rows.append(hy * dotk(tab.DOP853_D[r], k_all))
         cont = jnp.stack(rows)
     else:
         cont = jnp.zeros((0,) + y.shape, y.dtype)
@@ -305,7 +311,7 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
 
 
 def dop853_interp(cont, xold, h, ti):
-    s = (ti - xold) / h
+    s = ((ti - xold) / h).astype(cont.dtype)
     s1 = 1.0 - s
     conpar = cont[4] + s * (cont[5] + s1 * (cont[6] + s * cont[7]))
     return cont[0] + s * (cont[1] + s1 * (cont[2] + s * (cont[3] + s1 * conpar)))
@@ -371,8 +377,9 @@ def rk23_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
 
 
 def rk23_interp(cont, xold, h, ti):
-    s = (ti - xold) / h
-    return cont[0] + h * (cont[1] * s + cont[2] * s * s + cont[3] * s * s * s)
+    s = ((ti - xold) / h).astype(cont.dtype)
+    hy = jnp.asarray(h).astype(cont.dtype)
+    return cont[0] + hy * (cont[1] * s + cont[2] * s * s + cont[3] * s * s * s)
 
 
 # =============================================================================
@@ -413,14 +420,15 @@ def rk4_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
 
 
 def rk4_interp(cont, xold, h, ti):
-    s = (ti - xold) / h
+    s = ((ti - xold) / h).astype(cont.dtype)
+    hy = jnp.asarray(h).astype(cont.dtype)
     s2 = s * s
     s3 = s2 * s
     h00 = 2.0 * s3 - 3.0 * s2 + 1.0
     h10 = s3 - 2.0 * s2 + s
     h01 = -2.0 * s3 + 3.0 * s2
     h11 = s3 - s2
-    return h00 * cont[0] + h10 * h * cont[1] + h01 * cont[3] + h11 * h * cont[2]
+    return h00 * cont[0] + h10 * hy * cont[1] + h01 * cont[3] + h11 * hy * cont[2]
 
 
 # =============================================================================

@@ -196,6 +196,7 @@ def solve_ivp(
     nind2: Optional[int] = None,
     nind3: Optional[int] = None,
     dtype=None,
+    time_dtype=None,
     chunk_steps: int = 4096,
     event_capacity: int = 512,
     solver_options: Optional[dict] = None,
@@ -215,6 +216,10 @@ def solve_ivp(
     """
     del vectorized  # the RHS is traced; vectorization is inherent
     dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+    # f64-time/f32-state hybrid: time_dtype=jnp.float64 with dtype=float32
+    # keeps t/h/event-times at f64 resolution while state math stays f32
+    # (fixes the f32 long-horizon limit where t + h == t for small steps).
+    tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
 
     t0, tf = (float(t_span[0]), float(t_span[1]))
     y0_arr = jnp.atleast_1d(jnp.asarray(y0, dtype))
@@ -285,7 +290,7 @@ def solve_ivp(
     ev_spec = (EventSpec(n_events, directions, terminal_counts, event_capacity)
                if n_events else None)
     key = (
-        "solve", method, n, str(dtype), need_cont, chunk_steps, ev_spec,
+        "solve", method, n, str(dtype), str(tdt), need_cont, chunk_steps, ev_spec,
         _hashable(fun), _hashable(jac), tuple(_hashable(a) for a in args),
         tuple(_hashable(e) for e in ev_list),
         first_step is not None, bool(mass is not None),
@@ -328,14 +333,14 @@ def solve_ivp(
     hmax = abs(tf - t0) if not np.isfinite(max_step) else float(max_step)
     nmax = int(max_steps) if max_steps is not None else 2**31 - 2
     ra = run_args(tf, _broadcast_tol(rtol, n, dtype), _broadcast_tol(atol, n, dtype),
-                  hmax, min_step, nmax, dtype)
+                  hmax, min_step, nmax, dtype, time_dtype=tdt)
 
     fs = first_step
     if method == "RK4" and fs is None:
         fs = abs(tf - t0) / 100.0  # reference solve_ivp.rs:185
     fs_tr = jnp.asarray(abs(fs), dtype) if fs is not None else None
 
-    carry = init_carry(jnp.asarray(t0, dtype), y0_arr, fs_tr, ra)
+    carry = init_carry(jnp.asarray(t0, tdt), y0_arr, fs_tr, ra)
 
     seg_t, seg_y, seg_xold, seg_h, seg_cont = [], [], [], [], []
     while True:
@@ -420,6 +425,7 @@ def solve_ivp(
              else np.zeros((n, 0)))  # (n, n_points) like SciPy
 
     # -- events output --
+    event_overflow = None
     if events is None:
         t_events = None
         y_events = None
@@ -433,6 +439,8 @@ def solve_ivp(
             c = int(counts[i])
             t_events.append(np.array(tb[i, :c]))
             y_events.append(np.array(yb[i, :c]))
+        event_overflow = (np.asarray(carry.ev.overflow) if n_events
+                          else np.zeros((0,), bool))
 
     # -- dense output --
     sol = None
@@ -449,6 +457,7 @@ def solve_ivp(
         status=scipy_status, message=scipy_message(status),
         success=scipy_status >= 0,
         n_restarts=int(carry.n_restarts),
+        event_overflow=event_overflow,
     )
 
 
