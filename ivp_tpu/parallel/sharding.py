@@ -25,6 +25,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def _shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
 def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data",
                           tol_specs=(None, None)):
     """Wrap a ``build_ensemble_solver`` result for SPMD execution over ``mesh``.
@@ -34,12 +42,7 @@ def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data",
     ``tol_specs``: per-argument PartitionSpec (or None = replicated) for
     (rtol, atol) — pass ``P(axis)`` for per-lane tolerances.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
-    sharded = shard_map(
+    sharded = _shard_map()(
         lambda y0, t0, tf, rtol, atol: solver(y0, t0, tf, rtol, atol),
         mesh=mesh,
         in_specs=(P(axis), None, None) + tuple(tol_specs),
@@ -54,31 +57,37 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                       mesh: Optional[Mesh] = None, axis: str = "data",
                       dtype=None, events=None, event_capacity: int = 16,
                       t_eval=None, solver_options: Optional[dict] = None,
-                      max_restarts: int = 0):
+                      max_restarts: int = 0, args_batched: bool = False):
     """Batched solve with the ensemble axis sharded over a device mesh.
 
-    The batch size must be divisible by the mesh size.  Per-lane terminal /
-    directional events (with optional in-device ``restart`` maps), per-lane
-    rtol/atol (leading (B,) axis) and ``solver_options`` are supported —
-    per-lane state shards with the lanes.  (Per-lane ``t_eval`` grids and
-    ``args_batched`` are not yet supported in the sharded wrapper.)
+    The batch size must be divisible by the mesh size.  The full per-lane
+    parameter surface of :func:`build_ensemble_solver` shards with the lanes:
+
+    * per-lane terminal/directional events (with in-device ``restart`` maps),
+    * per-lane rtol/atol — leading (B,) / (B,1) / (B,n) axis,
+    * per-lane ``t_span`` — pass arrays ``(t0s, tfs)`` of shape (B,),
+    * per-lane ``t_eval`` grids — shape (B, m),
+    * per-lane ``args`` (``args_batched=True``) — each element with a leading
+      (B,) axis, so every lane integrates its own vector field,
+    * ``solver_options``.
+
+    Per-lane inputs are passed as sharded *arguments* (not closure constants)
+    so shard_map slices them alongside ``y0_batch``.
     """
     y0_batch = jnp.atleast_2d(jnp.asarray(y0_batch))
     B, n = y0_batch.shape
     if mesh is None:
         mesh = make_mesh(axis=axis)
-    if t_eval is not None and np.ndim(t_eval) > 1:
-        raise NotImplementedError(
-            "per-lane t_eval grids are not supported in solve_ivp_sharded")
     solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,
                                    args=tuple(args), jac=jac,
                                    max_steps=max_steps, events=events,
                                    event_capacity=event_capacity,
                                    t_eval=t_eval,
                                    solver_options=solver_options,
-                                   max_restarts=max_restarts)
+                                   max_restarts=max_restarts,
+                                   args_batched=args_batched)
 
-    def _norm(v):
+    def _norm_tol_spec(v):
         """(value, spec): per-lane tolerances are normalized to (B, k) BEFORE
         sharding, so the per-shard (B/ndev, k) slice is unambiguously
         per-lane inside _norm_tol (a 1-D (B,) array could otherwise be
@@ -93,12 +102,52 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
             return jnp.asarray(a), P(axis)
         return v, None
 
-    (rtol_v, spec_r), (atol_v, spec_a) = _norm(rtol), _norm(atol)
-    runner = shard_ensemble_solver(solver, mesh, axis,
-                                   tol_specs=(spec_r, spec_a))
-    t0, tf = float(t_span[0]), float(t_span[1])
+    (rtol_v, spec_r), (atol_v, spec_a) = _norm_tol_spec(rtol), _norm_tol_spec(atol)
+
+    # Per-lane t_span: (B,) arrays shard with the lanes; scalars replicate.
+    t0_in, tf_in = t_span[0], t_span[1]
+    spec_t0 = P(axis) if np.ndim(t0_in) == 1 else None
+    spec_tf = P(axis) if np.ndim(tf_in) == 1 else None
+    t0_v = jnp.asarray(t0_in) if spec_t0 is not None else float(t0_in)
+    tf_v = jnp.asarray(tf_in) if spec_tf is not None else float(tf_in)
+
+    # Per-lane t_eval grids are passed as an explicit sharded argument (the
+    # builder's closure grid cannot shard); shared 1-D grids stay baked in.
+    grid_v = None
+    spec_g = None
+    if t_eval is not None and np.ndim(t_eval) == 2:
+        grid_v = jnp.asarray(t_eval)
+        if grid_v.shape[0] != B:
+            raise ValueError(f"per-lane t_eval must have leading batch dim "
+                             f"{B}, got {grid_v.shape}")
+        spec_g = P(axis)
+
+    bargs_v = None
+    specs_args = None
+    if args_batched:
+        bargs_v = tuple(jnp.asarray(a) for a in args)
+        for a in bargs_v:
+            if a.shape[0] != B:
+                raise ValueError(f"args_batched elements must have leading "
+                                 f"batch dim {B}, got {a.shape}")
+        specs_args = tuple(P(axis) for _ in bargs_v)
+
+    sharded = _shard_map()(
+        lambda y0, t0, tf, r, a, g, ba: solver(y0, t0, tf, r, a,
+                                               t_grid=g, batched_args=ba),
+        mesh=mesh,
+        in_specs=(P(axis), spec_t0, spec_tf, spec_r, spec_a, spec_g,
+                  specs_args),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    runner = jax.jit(sharded)
+
     sh = NamedSharding(mesh, P(axis))
     y0_batch = jax.device_put(y0_batch, sh)
-    rtol_in = jax.device_put(rtol_v, sh) if spec_r is not None else rtol_v
-    atol_in = jax.device_put(atol_v, sh) if spec_a is not None else atol_v
-    return runner(y0_batch, t0, tf, rtol_in, atol_in)
+    put = lambda v, spec: jax.device_put(v, sh) if spec is not None else v
+    return runner(y0_batch, put(t0_v, spec_t0), put(tf_v, spec_tf),
+                  put(rtol_v, spec_r), put(atol_v, spec_a),
+                  put(grid_v, spec_g),
+                  (tuple(jax.device_put(a, sh) for a in bargs_v)
+                   if bargs_v is not None else None))

@@ -325,6 +325,33 @@ def test_sharded_per_lane_rtol_and_restarts():
     assert np.all(np.asarray(res.n_events)[:, 0] >= 2)
 
 
+def test_sharded_per_lane_span_grid_args():
+    """Round-3 sharded surface: per-lane t_span, per-lane t_eval grids and
+    per-lane args (args_batched) shard with the lanes over the virtual mesh
+    (shard_map slices them as explicit arguments)."""
+    B = 16
+
+    def decay(t, y, k):
+        return -k * y
+
+    ks = np.linspace(0.5, 2.0, B)
+    t0s = np.linspace(0.0, 1.0, B)
+    tfs = t0s + np.linspace(2.0, 4.0, B)
+    grids = np.stack([np.linspace(t0s[i], tfs[i], 7) for i in range(B)])
+    y0 = np.ones((B, 1))
+    res = solve_ivp_sharded(decay, (t0s, tfs), y0, method="RK45",
+                            rtol=1e-9, atol=1e-12, t_eval=grids,
+                            args=(ks,), args_batched=True)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    np.testing.assert_allclose(np.asarray(res.t), tfs, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.y)[:, 0],
+                               np.exp(-ks * (tfs - t0s)), rtol=1e-7)
+    samples = np.asarray(res.y_samples)[:, :, 0]
+    np.testing.assert_allclose(
+        samples, np.exp(-ks[:, None] * (grids - t0s[:, None])), rtol=1e-7)
+    assert np.all(np.asarray(res.n_samples) == 7)
+
+
 def test_restart_with_in_loop_sampling():
     """In-loop t_eval sampling across in-device restarts: grid points after
     a bounce must come from post-restart segments (the in-loop emitter
