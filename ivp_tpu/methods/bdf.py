@@ -26,7 +26,7 @@ from jax import lax
 
 from .. import tableaus as tab
 from ..types import Status
-from ..core.common import hinit, safe_pow
+from ..core.common import hinit
 from ..core.block_tridiag import (blocks_from_dense, btd_factor, btd_solve,
                                   pad_rhs)
 from ..core.linalg import inv, lu_factor, lu_solve, matvec
@@ -67,6 +67,11 @@ class BDFParams:
     band: Any = None
     # "mixed": f32 factor/solves with f64 state/residuals (see radau.py).
     newton_precision: str = "full"
+    # Unroll the Newton iteration to exactly newton_maxiter masked steps
+    # instead of a lax.while_loop.  Semantics identical; measured
+    # throughput-neutral on TPU (33.9k vs 34.7k IVPs/s on the stiff VdP
+    # ensemble, within run noise), so the while form stays the default.
+    newton_unroll: bool = False
 
 
 # n at or below which "auto" uses the explicit-inverse linear path.
@@ -366,8 +371,17 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
             has_prev = s["prev"] >= 0.0
             rate = dy_norm / jnp.maximum(s["prev"], 1e-300)
-            rem = jnp.asarray(p.newton_maxiter, dtype) - s["it"].astype(dtype)
-            estimate_full = rate ** rem / jnp.maximum(1.0 - rate, 1e-300) * dy_norm
+            # rate ** rem with rem = maxiter - it an integer in
+            # [1, maxiter]: an emulated-f64 pow per Newton iteration per
+            # lane is one of the costliest ops in the attempt — build the
+            # integer powers by multiplication and select instead.
+            rem_i = p.newton_maxiter - s["it"]
+            pw = rate
+            rate_rem = rate
+            for k in range(2, p.newton_maxiter + 1):
+                pw = pw * rate
+                rate_rem = jnp.where(rem_i >= k, pw, rate_rem)
+            estimate_full = rate_rem / jnp.maximum(1.0 - rate, 1e-300) * dy_norm
             rate_bad = has_prev & (s["prev"] > 0.0) & (
                 (rate >= 1.0) | (estimate_full > newton_tol))
 
@@ -393,7 +407,20 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
         # Skip Newton entirely on a singular iteration matrix.
         nst["done"] = jnp.where(sing | too_small, 2, 0).astype(jnp.int32)
-        nres = lax.while_loop(ncond, nbody, nst)
+        if p.newton_unroll:
+            # Exactly maxiter masked iterations (maxed is never hit inside:
+            # `it` <= trip index < maxiter); lanes still running afterwards
+            # are the maxed failures.
+            s = nst
+            for _ in range(p.newton_maxiter):
+                s2 = nbody(s)
+                frozen = s["done"] != 0
+                s = {k: jnp.where(frozen, s[k], s2[k]) for k in s}
+            nres = dict(s)
+            nres["done"] = jnp.where(nres["done"] == 0, 2,
+                                     nres["done"]).astype(jnp.int32)
+        else:
+            nres = lax.while_loop(ncond, nbody, nst)
         converged = nres["done"] == 1
         newton_fail = ~converged
         nfev = nres["nfev"]
@@ -468,13 +495,23 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
             order < MAX_ORDER,
             jnp.sqrt(jnp.mean((ec_p * row_op2 * inv_scale2) ** 2)),
             jnp.inf)
-        errors = jnp.stack([err_m, error_norm, err_p])
+        # Order selection in log space: argmax of err_k^(-1/(order+k))
+        # equals argmax of -log(err_k)/(order+k), so only the WINNING factor
+        # is exponentiated — 3 logs + 1 exp instead of 3 emulated-f64 pows.
+        # Errors are clamped to [1e-30, 1e30] first: the TPU's emulated-f64
+        # log returns NaN for inf (err_m/err_p are inf at the order
+        # boundaries — docs/TPU_NOTES.md f64-range quirks), and the clamped
+        # values produce factor ~1e30/~1e-30, preserving the safe_pow
+        # 0**neg=inf / inf**neg=0 selection behavior.
+        errs3 = jnp.clip(jnp.stack([err_m, error_norm, err_p]), 1e-30, 1e30)
+        log_errs = jnp.log(errs3)
         exponents = -1.0 / (order.astype(dtype) + jnp.arange(3, dtype=dtype))
-        factors = safe_pow(errors, exponents)  # 0**neg -> inf; inf**neg -> 0
-        best = jnp.argmax(factors)
+        log_factors = exponents * log_errs
+        best = jnp.argmax(log_factors)
         delta_order = jnp.clip(best.astype(jnp.int32) - 1, -1, 1)
         new_order = jnp.clip(order + delta_order, 1, MAX_ORDER)
-        step_factor = jnp.minimum(MAX_FACTOR, safety * jnp.max(factors))
+        step_factor = jnp.minimum(MAX_FACTOR,
+                                  safety * jnp.exp(jnp.max(log_factors)))
 
         order_next = jnp.where(adapt, new_order, order)
         order_changed = adapt & (new_order != order)
@@ -484,9 +521,9 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
         # ---- Next-step bookkeeping across the outcome cases ----
         fac_fail = jnp.full((), 0.5, dtype)
-        fac_rej = jnp.maximum(
-            safety * safe_pow(error_norm, -1.0 / (order.astype(dtype) + 1.0)),
-            MIN_FACTOR)
+        # error_norm^(-1/(order+1)) is exactly exp(log_factors[1]) — reuse
+        # the log computed for order selection instead of another pow.
+        fac_rej = jnp.maximum(safety * jnp.exp(log_factors[1]), MIN_FACTOR)
 
         # One merged rescaling for ALL outcome cases AND the next step's
         # hmax/hmin/tend clamping (bdf.rs:287-322), composed into a single

@@ -17,6 +17,7 @@ Algorithmic parity with the reference (formulas, controllers, counters):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, NamedTuple
 
 import jax.numpy as jnp
@@ -31,7 +32,11 @@ from .base import Engine, RunArgs, StepProposal, dotk
 class ERKState(NamedTuple):
     h: Any        # signed next step size
     k1: Any       # (n,) derivative at (t, y) — FSAL carry
-    facold: Any   # Lund stabilization memory
+    facold: Any   # Lund stabilization memory, stored as log(facold): the
+    #               controller needs err^expo1 / facold^beta, evaluated as
+    #               exp(expo1*log(err) - beta*log_facold) — one emulated-f64
+    #               log per attempt instead of two pows (TPU f64 pow is
+    #               log+exp+mul, each ~dozens of emulated ops)
     reject: Any   # bool: previous attempt was rejected
     iasti: Any    # int32 stiffness counter
     nonstiff: Any
@@ -78,7 +83,7 @@ def erk_init(rhs, t0, y0, first_step, ra: RunArgs, p: ERKParams):
         nfev = 2
     zero = jnp.zeros((), y0.dtype)
     ms = ERKState(
-        h=h, k1=k1, facold=jnp.full((), 1e-4, y0.dtype),
+        h=h, k1=k1, facold=jnp.log(jnp.full((), 1e-4, y0.dtype)),
         reject=jnp.zeros((), bool), iasti=_i32(0), nonstiff=_i32(0),
         hlamb=zero, posneg=posneg,
     )
@@ -144,8 +149,13 @@ def dopri5_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
         cont = jnp.zeros((0,) + y.shape, y.dtype)
 
     # --- Controller (Lund-stabilized PI; reference dopri5.rs:351-459) ---
-    fac11 = safe_pow(err, expo1)
-    fac = fac11 / (ms.facold ** p.beta)
+    # err^expo1 / facold^beta via one log + exps (facold stored as log).
+    # err is floored at 1e-35 before the log: the TPU's emulated-f64 log
+    # misbehaves at 0/inf (docs/TPU_NOTES.md), and exp(expo1*log(1e-35)) is
+    # ~1e-6, clamped to the same facc2 bound the exact fac11=0 would hit.
+    log_err = jnp.log(jnp.maximum(err, 1e-35))
+    fac11 = jnp.exp(expo1 * log_err)
+    fac = jnp.exp(expo1 * log_err - p.beta * ms.facold)
     fac = jnp.maximum(facc2, jnp.minimum(facc1, fac / p.safety))
     hnew_acc = h / fac
     hnew_acc = jnp.where(jnp.abs(hnew_acc) > ra.hmax, posneg * ra.hmax, hnew_acc)
@@ -159,10 +169,12 @@ def dopri5_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
                        jnp.where(stiff_fail, _i32(Status.PROBABLY_STIFF),
                                  _i32(Status.RUNNING)))
 
+    log_facold_floor = math.log(1e-4)
     ms_new = ERKState(
         h=h_next,
         k1=jnp.where(advance, k7, k1),
-        facold=jnp.where(accepted, jnp.maximum(err, 1e-4), ms.facold),
+        facold=jnp.where(accepted, jnp.maximum(log_err, log_facold_floor),
+                         ms.facold),
         reject=~accepted,
         iasti=iasti, nonstiff=nonstiff, hlamb=hlamb, posneg=posneg,
     )
@@ -277,8 +289,19 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
         cont = jnp.zeros((0,) + y.shape, y.dtype)
 
     # --- Controller (dop853.rs:431-652) ---
-    fac11 = safe_pow(err, expo1)
-    fac = fac11 / (ms.facold ** p.beta)
+    if p.beta == 0.0 and expo1 == 0.125:
+        # Default DOP853 (beta=0): err^(1/8) is a pure sqrt chain and the
+        # facold memory is unused — no transcendentals at all.
+        fac11 = jnp.sqrt(jnp.sqrt(jnp.sqrt(err)))
+        fac = fac11
+        facold_new = ms.facold
+    else:
+        log_err = jnp.log(jnp.maximum(err, 1e-35))
+        fac11 = jnp.exp(expo1 * log_err)
+        fac = jnp.exp(expo1 * log_err - p.beta * ms.facold)
+        facold_new = jnp.where(accepted,
+                               jnp.maximum(log_err, math.log(1e-4)),
+                               ms.facold)
     fac = jnp.maximum(facc2, jnp.minimum(facc1, fac / p.safety))
     hnew_acc = h / fac
     hnew_acc = jnp.where(jnp.abs(hnew_acc) > ra.hmax, posneg * ra.hmax, hnew_acc)
@@ -295,7 +318,7 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     ms_new = ERKState(
         h=h_next,
         k1=jnp.where(advance, f_new, ms.k1),
-        facold=jnp.where(accepted, jnp.maximum(err, 1e-4), ms.facold),
+        facold=facold_new,
         reject=~accepted,
         iasti=iasti, nonstiff=nonstiff, hlamb=hlamb, posneg=posneg,
     )

@@ -449,7 +449,18 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
             ok_theta = theta < 0.99
             faccon = jnp.where(check & ok_theta, theta / (1.0 - theta), s["faccon"])
             rem = jnp.asarray(p.newton_maxiter - 1, dtype) - it.astype(dtype)
-            dyth = faccon * dyno * theta ** rem / newton_tol
+            # theta ** rem with integer rem in [0, maxiter-2] over the
+            # region where it is used (checked iterations): integer powers
+            # by multiply+select instead of an emulated-f64 pow per
+            # iteration per lane (rem < 0 iterations are masked out by
+            # `check`, any finite placeholder is fine).
+            rem_i = p.newton_maxiter - 1 - it
+            theta_rem = jnp.ones_like(theta)
+            pw = jnp.ones_like(theta)
+            for k in range(1, max(p.newton_maxiter - 1, 1)):
+                pw = pw * theta
+                theta_rem = jnp.where(rem_i >= k, pw, theta_rem)
+            dyth = faccon * dyno * theta_rem / newton_tol
             diverged = check & ok_theta & (dyth >= 1.0)
             qnewt = jnp.clip(dyth, 1e-4, 20.0)
             hhfac_div = (0.8 * qnewt ** (-1.0 / (4.0 + rem))).astype(
@@ -517,7 +528,10 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
 
         # ---- Step-size controller (radau.rs:669-691) ----
         fac = jnp.minimum(p.safety, cfac / (newt + 2.0 * p.newton_maxiter))
-        quot = jnp.maximum(facr, jnp.minimum(facl, safe_pow(err, 0.25) / fac))
+        # err^0.25 as two sqrts: far cheaper than an emulated-f64 pow (err
+        # is floored at 1e-10 by rms, so always positive; NaN propagates).
+        quot = jnp.maximum(facr, jnp.minimum(facl,
+                                             jnp.sqrt(jnp.sqrt(err)) / fac))
         hnew = h / quot
 
         accepted = converged & (err <= 1.0) & ~sing & ~too_small
@@ -525,8 +539,8 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         # Predictive Gustafsson controller.
         if p.predictive:
             can_pred = accepted & (naccpt + 1 > 1)
-            facgus = (ms.h_acc / h) * safe_pow(
-                err * err / jnp.maximum(ms.err_acc, 1e-300), 0.25) / p.safety
+            facgus = (ms.h_acc / h) * jnp.sqrt(jnp.sqrt(
+                err * err / jnp.maximum(ms.err_acc, 1e-300))) / p.safety
             facgus = jnp.maximum(facr, jnp.minimum(facl, facgus))
             quot = jnp.where(can_pred, jnp.maximum(quot, facgus), quot)
             hnew = h / quot
