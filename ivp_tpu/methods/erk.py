@@ -58,6 +58,13 @@ class ERKParams:
     stiff_test: int = 1000
     stiff_threshold: float = 3.25
     iord: int = 5
+    # Error-norm + step-controller arithmetic precision.  Step control only
+    # needs a few digits (it chooses h, it does not touch the solution), so
+    # under emulated f64 the scale/divide/rms/log/exp chain runs in f32 by
+    # default — the roofline (docs/BENCH.md) shows the f64 path is
+    # emulation-op-bound, and this removes ~15% of the amplified ops.  Set
+    # "state" to keep the controller in the state dtype.
+    controller_precision: str = "float32"
 
 
 DOPRI5_DEFAULTS = dict(scale_min=0.2, scale_max=10.0, beta=0.04,
@@ -82,8 +89,9 @@ def erk_init(rhs, t0, y0, first_step, ra: RunArgs, p: ERKParams):
         h, _ = hinit(rhs, t0, y0, posneg, k1, p.iord, ra.hmax, ra.atol, ra.rtol)
         nfev = 2
     zero = jnp.zeros((), y0.dtype)
+    cdt = jnp.float32 if p.controller_precision == "float32" else y0.dtype
     ms = ERKState(
-        h=h, k1=k1, facold=jnp.log(jnp.full((), 1e-4, y0.dtype)),
+        h=h, k1=k1, facold=jnp.log(jnp.full((), 1e-4, cdt)),
         reject=jnp.zeros((), bool), iasti=_i32(0), nonstiff=_i32(0),
         hlamb=zero, posneg=posneg,
     )
@@ -119,9 +127,14 @@ def dopri5_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     k7 = rhs(t + h, ynew)
     ks = [k1, k2, k3, k4, k5, k6, k7]
 
+    # Error norm + controller in controller_precision (f32 by default —
+    # step control needs only a few digits; see ERKParams).
+    cdt = jnp.float32 if p.controller_precision == "float32" else y.dtype
     err_vec = hy * dotk(E, ks)
-    sk = ra.atol + ra.rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
-    err = scaled_rms(err_vec, sk)
+    sk = (ra.atol.astype(cdt)
+          + ra.rtol.astype(cdt)
+          * jnp.maximum(jnp.abs(y), jnp.abs(ynew)).astype(cdt))
+    err = scaled_rms(err_vec.astype(cdt), sk)
 
     accepted = (err <= 1.0) & ~too_small
 
@@ -224,15 +237,18 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     kb = dotk(tab.DOP853_B, ks)
     ynew = y + hy * kb
 
-    sk = ra.atol + ra.rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
+    cdt = jnp.float32 if p.controller_precision == "float32" else y.dtype
+    sk = (ra.atol.astype(cdt)
+          + ra.rtol.astype(cdt)
+          * jnp.maximum(jnp.abs(y), jnp.abs(ynew)).astype(cdt))
     bh1, bh2, bh3 = tab.DOP853_BH
-    err2_vec = kb - bh1 * ks[0] - bh2 * ks[8] - bh3 * ks[11]
-    err5_vec = dotk(tab.DOP853_ER, ks)
+    err2_vec = (kb - bh1 * ks[0] - bh2 * ks[8] - bh3 * ks[11]).astype(cdt)
+    err5_vec = dotk(tab.DOP853_ER, ks).astype(cdt)
     err2 = jnp.sum((err2_vec / sk) ** 2)
     err5 = jnp.sum((err5_vec / sk) ** 2)
     deno = err5 + 0.01 * err2
     deno = jnp.where(deno <= 0.0, 1.0, deno)
-    err = jnp.abs(hy) * err5 * jnp.sqrt(1.0 / (n * deno))
+    err = jnp.abs(hy).astype(cdt) * err5 * jnp.sqrt(1.0 / (n * deno))
 
     accepted = (err <= 1.0) & ~too_small
 
@@ -354,17 +370,21 @@ def rk23_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
 
     last = (t + h - ra.tend) * posneg > 0.0
     h = jnp.where(last, ra.tend - t, h)
+    hy = h.astype(y.dtype)  # state-space h (f64-time/f32-state hybrid)
 
     k1 = ms.k1
-    k2 = rhs(t + 0.5 * h, y + h * 0.5 * k1)
-    k3 = rhs(t + 0.75 * h, y + h * 0.75 * k2)
-    ynew = y + h * dotk(tab.RK23_B, [k1, k2, k3])
+    k2 = rhs(t + 0.5 * h, y + hy * 0.5 * k1)
+    k3 = rhs(t + 0.75 * h, y + hy * 0.75 * k2)
+    ynew = y + hy * dotk(tab.RK23_B, [k1, k2, k3])
     k4 = rhs(t + h, ynew)
     ks = [k1, k2, k3, k4]
 
-    err_vec = h * dotk(tab.RK23_E, ks)
-    sk = ra.atol + ra.rtol * jnp.maximum(jnp.abs(ynew), jnp.abs(y))
-    err = scaled_rms(err_vec, sk)
+    cdt = jnp.float32 if p.controller_precision == "float32" else y.dtype
+    err_vec = hy * dotk(tab.RK23_E, ks)
+    sk = (ra.atol.astype(cdt)
+          + ra.rtol.astype(cdt)
+          * jnp.maximum(jnp.abs(ynew), jnp.abs(y)).astype(cdt))
+    err = scaled_rms(err_vec.astype(cdt), sk)
 
     accepted = (err <= 1.0) & ~too_small
     t_new = jnp.where(last, ra.tend, t + h)
@@ -415,11 +435,12 @@ def rk4_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     # always taken with the full fixed h.
     last = (t + 1.01 * h - ra.tend) * jnp.sign(h) > 0.0
 
+    hy = jnp.asarray(h).astype(y.dtype)  # state-space h (hybrid-aware)
     k1 = ms.k1
-    k2 = rhs(t + 0.5 * h, y + 0.5 * h * k1)
-    k3 = rhs(t + 0.5 * h, y + 0.5 * h * k2)
-    k4 = rhs(t + h, y + h * k3)
-    ynew = y + h * dotk(tab.RK4_B, [k1, k2, k3, k4])
+    k2 = rhs(t + 0.5 * h, y + 0.5 * hy * k1)
+    k3 = rhs(t + 0.5 * h, y + 0.5 * hy * k2)
+    k4 = rhs(t + h, y + hy * k3)
+    ynew = y + hy * dotk(tab.RK4_B, [k1, k2, k3, k4])
     t_new = t + h
     k1_new = rhs(t_new, ynew)
 

@@ -94,7 +94,9 @@ def _dopri5_block_loop(rhs, n, t0, tf, rtol, atol, hmax, max_steps,
         # cannot truncate them back, so booleans stay out of the carry.
         state = dict(
             t=t, y=y0, h=h, k1=k1,
-            facold=jnp.full(shape, 1e-4, dtype),
+            # log(facold) — matches the XLA driver's log-space controller
+            # (methods/erk.py) so step sequences stay bit-identical.
+            facold=jnp.full(shape, float(np.log(1e-4)), dtype),
             reject=jnp.zeros(shape, jnp.int32),
             done=jnp.zeros(shape, jnp.int32),
             status=jnp.full(shape, Status.RUNNING, jnp.int32),
@@ -137,8 +139,9 @@ def _dopri5_block_loop(rhs, n, t0, tf, rtol, atol, hmax, max_steps,
 
             accepted = (err <= 1.0) & ~too_small & act
 
-            fac11 = err ** expo1
-            fac = fac11 / (s["facold"] ** beta)
+            log_err = jnp.log(jnp.maximum(err, 1e-35))
+            fac11 = jnp.exp(expo1 * log_err)
+            fac = jnp.exp(expo1 * log_err - beta * s["facold"])
             fac = jnp.maximum(facc2, jnp.minimum(facc1, fac / safety))
             hnew_acc = h / fac
             hnew_acc = jnp.where(jnp.abs(hnew_acc) > abs(hmax),
@@ -168,7 +171,9 @@ def _dopri5_block_loop(rhs, n, t0, tf, rtol, atol, hmax, max_steps,
                 t=upd(t_new, t), y=upd(ynew, y),
                 h=jnp.where(act, h_next, s["h"]),
                 k1=upd(k7, k1),
-                facold=jnp.where(accepted, jnp.maximum(err, 1e-4), s["facold"]),
+                facold=jnp.where(accepted,
+                                 jnp.maximum(log_err, float(np.log(1e-4))),
+                                 s["facold"]),
                 reject=jnp.where(act, (~accepted).astype(jnp.int32), s["reject"]),
                 done=done, status=status, nstep=nstep,
                 naccpt=s["naccpt"] + accepted.astype(jnp.int32),
