@@ -38,6 +38,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def pytest_xdist_auto_num_workers(config):
+    """Resolve ``-n auto``: one worker per CPU, capped at 8 (compile
+    parallelism saturates), floored at 2 (process isolation against the
+    XLA CPU compiler's occasional segfault after many large compiles; xdist
+    restarts a crashed worker).  On a 1-CPU host 8 spin-waiting XLA
+    runtimes measured 3x slower than 2."""
+    n = os.cpu_count() or 1
+    return max(2, min(8, n))
+
+
 def pytest_collection_modifyitems(config, items):
     """Schedule known-slow tests first (LPT-style): with xdist work-stealing
     a heavy test started last leaves 7 idle workers waiting on it; fronting
