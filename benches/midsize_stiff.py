@@ -104,17 +104,29 @@ def measure(method, N, B, solver_options=None, tf=10.0, rtol=1e-4, atol=1e-6,
 def main():
     B = int(os.environ.get("IVP_TPU_MID_B", 4096))
     Bb = int(os.environ.get("IVP_TPU_BANDED_B", 256))
+    only = os.environ.get("IVP_TPU_MID_ONLY", "")
     rows = []
 
     def add(**kw):
-        try:
-            rows.append(measure(**kw))
-        except Exception as e:  # record, don't die
-            rows.append({"config": str(kw), "error": str(e)[:300]})
+        if only and only not in (kw.get("label", "") + kw["method"]
+                                 + str(kw["N"])):
+            return
+        # The remote TPU worker can crash on big dense LU programs and takes
+        # minutes to recover; retry with backoff (cf. bench.py).
+        for attempt in range(3):
+            try:
+                rows.append(measure(**kw))
+                break
+            except Exception as e:
+                if attempt == 2:
+                    rows.append({"config": str(kw), "error": str(e)[:300]})
+                else:
+                    time.sleep(150)
         print(json.dumps(rows[-1]), flush=True)
 
-    for N in (8, 16, 32):
+    for N in (8, 16):
         add(method="Radau", N=N, B=B)
+    add(method="Radau", N=32, B=1024)  # dense n=64: small B, crash-prone
     add(method="BDF", N=8, B=B)
     add(method="BDF", N=16, B=B)
     # Linear-backend sweep at n=32: dense LU vs explicit inverse vs banded CR.
@@ -123,6 +135,8 @@ def main():
     add(method="Radau", N=16, B=B,
         solver_options={"linear_mode": "banded", "band": (2, 2)},
         label="/bandedCR")
+    add(method="Radau", N=16, B=B,
+        solver_options={"newton_precision": "mixed"}, label="/mixedNewton")
     # Batched banded ensemble at n=128 (the workload the CR design promises).
     add(method="Radau", N=64, B=Bb,
         solver_options={"linear_mode": "banded", "band": (2, 2)},
