@@ -72,6 +72,9 @@ class BDFParams:
     # throughput-neutral on TPU (33.9k vs 34.7k IVPs/s on the stiff VdP
     # ensemble, within run noise), so the while form stays the default.
     newton_unroll: bool = False
+    # Norm / rate / step-controller arithmetic precision (see erk.py): f32
+    # by default under emulated f64; "state" restores dtype arithmetic.
+    controller_precision: str = "float32"
 
 
 # n at or below which "auto" uses the explicit-inverse linear path.
@@ -292,12 +295,14 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
     def attempt(rhs, t, y, naccpt, ms: BDFState, ra: RunArgs, p_):
         dtype = y.dtype
+        cdt = jnp.float32 if p.controller_precision == "float32" else dtype
         rtol_min = jnp.maximum(jnp.min(ra.rtol), EPS)
         if p.newton_tol > 0.0:
-            newton_tol = jnp.asarray(p.newton_tol, y.dtype)
+            newton_tol = jnp.asarray(p.newton_tol, cdt)
         else:
             newton_tol = jnp.maximum(10.0 * EPS / rtol_min,
-                                     jnp.minimum(jnp.sqrt(rtol_min), 0.03))
+                                     jnp.minimum(jnp.sqrt(rtol_min),
+                                                 0.03)).astype(cdt)
 
         posneg = ms.posneg
         order = ms.order
@@ -322,7 +327,9 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         y_predict = _masked_sum(D, 0, order)
         scale = ra.atol + ra.rtol * jnp.abs(y_predict)
         scale = jnp.where(scale == 0.0, EPS, scale)
-        inv_scale = 1.0 / scale  # hoisted: emulated-f64 division is costly
+        # Hoisted reciprocal in controller precision: the Newton norm only
+        # drives convergence decisions (see ERKParams rationale).
+        inv_scale = (1.0 / scale).astype(cdt)
         r = _rows()
         gmask = ((r >= 1) & (r <= order))[:, None]
         gfull = jnp.concatenate([jnp.asarray(gamma, dtype),
@@ -354,7 +361,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         # ---- Simplified Newton (bdf.rs:385-459) ----
         nst = dict(
             y_new=y_predict, delta=jnp.zeros_like(y),
-            prev=jnp.full((), -1.0, dtype),  # <0 means "no previous norm"
+            prev=jnp.full((), -1.0, cdt),  # <0 means "no previous norm"
             it=_i32(0), done=_i32(0),  # 0 running, 1 converged, 2 failed
             nfev=_i32(0),
         )
@@ -367,7 +374,8 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
             f = rhs(x_new, s["y_new"])
             rhs_v = cy * f - psi - s["delta"]
             dy = solve(lin, rhs_v)
-            dy_norm = jnp.sqrt(jnp.mean((dy * inv_scale) ** 2))
+            dyc = dy.astype(cdt) * inv_scale
+            dy_norm = jnp.sqrt(jnp.mean(dyc * dyc))
 
             has_prev = s["prev"] >= 0.0
             rate = dy_norm / jnp.maximum(s["prev"], 1e-300)
@@ -426,7 +434,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         nfev = nres["nfev"]
         y_new = nres["y_new"]
         delta = nres["delta"]
-        n_iter = nres["it"].astype(dtype)
+        n_iter = nres["it"].astype(cdt)
 
         # Newton failure: refresh Jacobian, halve the step (bdf.rs:448-459).
         jac_new = lax.cond(newton_fail & ~too_small,
@@ -438,11 +446,11 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
         scale2 = ra.atol + ra.rtol * jnp.abs(y_new)
         scale2 = jnp.where(scale2 == 0.0, EPS, scale2)
-        inv_scale2 = 1.0 / scale2
-        ec = jnp.asarray(error_const, dtype)
+        inv_scale2 = (1.0 / scale2).astype(cdt)
+        ec = jnp.asarray(error_const, cdt)
         ec_ord = sel(ec, order)
-        err_vec = ec_ord * delta
-        error_norm = jnp.sqrt(jnp.mean((err_vec * inv_scale2) ** 2))
+        errc = ec_ord * delta.astype(cdt) * inv_scale2
+        error_norm = jnp.sqrt(jnp.mean(errc * errc))
 
         accepted = converged & (error_norm <= 1.0)
         err_reject = converged & (error_norm > 1.0)
@@ -487,14 +495,11 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         row_ord = jnp.sum(jnp.where((_rows() == order)[:, None], D, 0.0),
                           axis=0) + delta
         row_op2 = delta - row_op1
-        err_m = jnp.where(
-            order > 1,
-            jnp.sqrt(jnp.mean((ec_m * row_ord * inv_scale2) ** 2)),
-            jnp.inf)
-        err_p = jnp.where(
-            order < MAX_ORDER,
-            jnp.sqrt(jnp.mean((ec_p * row_op2 * inv_scale2) ** 2)),
-            jnp.inf)
+        emc = ec_m * row_ord.astype(cdt) * inv_scale2
+        epc = ec_p * row_op2.astype(cdt) * inv_scale2
+        err_m = jnp.where(order > 1, jnp.sqrt(jnp.mean(emc * emc)), jnp.inf)
+        err_p = jnp.where(order < MAX_ORDER,
+                          jnp.sqrt(jnp.mean(epc * epc)), jnp.inf)
         # Order selection in log space: argmax of err_k^(-1/(order+k))
         # equals argmax of -log(err_k)/(order+k), so only the WINNING factor
         # is exponentiated — 3 logs + 1 exp instead of 3 emulated-f64 pows.
@@ -505,7 +510,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         # 0**neg=inf / inf**neg=0 selection behavior.
         errs3 = jnp.clip(jnp.stack([err_m, error_norm, err_p]), 1e-30, 1e30)
         log_errs = jnp.log(errs3)
-        exponents = -1.0 / (order.astype(dtype) + jnp.arange(3, dtype=dtype))
+        exponents = -1.0 / (order.astype(cdt) + jnp.arange(3, dtype=cdt))
         log_factors = exponents * log_errs
         best = jnp.argmax(log_factors)
         delta_order = jnp.clip(best.astype(jnp.int32) - 1, -1, 1)
@@ -520,7 +525,7 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         njev = njev + jnp.where(order_changed & (not p.const_jac), 1, 0).astype(jnp.int32)
 
         # ---- Next-step bookkeeping across the outcome cases ----
-        fac_fail = jnp.full((), 0.5, dtype)
+        fac_fail = jnp.full((), 0.5, cdt)
         # error_norm^(-1/(order+1)) is exactly exp(log_factors[1]) — reuse
         # the log computed for order selection instead of another pow.
         fac_rej = jnp.maximum(safety * jnp.exp(log_factors[1]), MIN_FACTOR)

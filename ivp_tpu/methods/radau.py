@@ -91,6 +91,11 @@ class RadauParams:
     # solves are far below the Newton tolerance (max(10u/tol, sqrt(tol)),
     # radau.rs:199-205), halving the linear-algebra HBM traffic on TPU.
     newton_precision: str = "full"
+    # Norm / rate / step-controller arithmetic precision (see erk.py): the
+    # convergence-rate and error norms only drive decisions, so under
+    # emulated f64 they run in f32 by default.  "state" restores dtype
+    # arithmetic.
+    controller_precision: str = "float32"
 
 
 # n at or below which "auto" uses the explicit-inverse linear path.
@@ -259,13 +264,14 @@ def make_radau_init(jac_fn, mass_mat, p: RadauParams):
         f0 = rhs(t0, y0)
         rtol_t, atol_t = _transform_tols(ra)
         scal = atol_t + rtol_t * jnp.abs(y0)
+        cdt = jnp.float32 if p.controller_precision == "float32" else dtype
         ms = RadauState(
             h=h, hold=h, posneg=posneg, f0=f0,
             cont=jnp.zeros((4, n), dtype), scal=scal,
             first=jnp.ones((), bool), reject=jnp.zeros((), bool),
             last=jnp.zeros((), bool),
-            faccon=jnp.ones((), dtype), theta=jnp.full((), p.thet, dtype),
-            hhfac=h, h_acc=jnp.zeros((), tdt), err_acc=jnp.zeros((), dtype),
+            faccon=jnp.ones((), cdt), theta=jnp.full((), p.thet, cdt),
+            hhfac=h, h_acc=jnp.zeros((), tdt), err_acc=jnp.zeros((), cdt),
             call_jac=jnp.ones((), bool), call_decomp=jnp.ones((), bool),
             singular=_i32(0),
             jac=jnp.zeros((n, n), dtype),
@@ -328,12 +334,13 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         C1M1, C2M1 = float(tab.RADAU_C1M1), float(tab.RADAU_C2M1)
         C1MC2 = float(tab.RADAU_C1MC2)
         rtol_t, atol_t = _transform_tols(ra)
+        cdt = jnp.float32 if p.controller_precision == "float32" else dtype
         if p.newton_tol is not None:
-            newton_tol = jnp.asarray(p.newton_tol, y.dtype)
+            newton_tol = jnp.asarray(p.newton_tol, cdt)
         else:
             tolst = rtol_t[0]
             newton_tol = jnp.maximum(10.0 * p.uround / tolst,
-                                     jnp.minimum(0.03, jnp.sqrt(tolst)))
+                                     jnp.minimum(0.03, jnp.sqrt(tolst))).astype(cdt)
 
         h = ms.h
         posneg = ms.posneg
@@ -395,12 +402,15 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         betan = (BETA / h).astype(dtype)
 
         # ---- Simplified Newton iteration (radau.rs:477-618) ----
+        # Rate/norm arithmetic in controller precision (f32 by default —
+        # it only drives convergence decisions; see ERKParams rationale).
         faccon0 = jnp.maximum(ms.faccon, p.uround) ** 0.8
+        inv_scal_c = (1.0 / scal).astype(cdt)
 
         nst = dict(
             z1=z1_0, z2=z2_0, z3=z3_0, f1=f1_0, f2=f2_0, f3=f3_0,
-            it=_i32(0), dyno=jnp.zeros((), dtype), dynold=jnp.zeros((), dtype),
-            thqold=jnp.zeros((), dtype), theta=jnp.full((), abs(p.thet), dtype),
+            it=_i32(0), dyno=jnp.zeros((), cdt), dynold=jnp.zeros((), cdt),
+            thqold=jnp.zeros((), cdt), theta=jnp.full((), abs(p.thet), cdt),
             faccon=faccon0, hhfac=ms.hhfac,
             # Singular decomposition or step-underflow: skip Newton entirely
             # (the reference restarts the main loop before the iteration).
@@ -435,9 +445,12 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
             z2, z3 = solve2(lin, z2, z3)
 
             it = s["it"] + 1
+            z1c = z1.astype(cdt) * inv_scal_c
+            z2c = z2.astype(cdt) * inv_scal_c
+            z3c = z3.astype(cdt) * inv_scal_c
             dyno = jnp.sqrt(
-                (jnp.sum((z1 / scal) ** 2) + jnp.sum((z2 / scal) ** 2)
-                 + jnp.sum((z3 / scal) ** 2)) / (3.0 * n))
+                (jnp.sum(z1c * z1c) + jnp.sum(z2c * z2c)
+                 + jnp.sum(z3c * z3c)) / (3.0 * n))
 
             # Convergence-rate control (radau.rs:561-596).
             check = (it > 1) & (it < p.newton_maxiter)
@@ -448,7 +461,7 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
 
             ok_theta = theta < 0.99
             faccon = jnp.where(check & ok_theta, theta / (1.0 - theta), s["faccon"])
-            rem = jnp.asarray(p.newton_maxiter - 1, dtype) - it.astype(dtype)
+            rem = jnp.asarray(p.newton_maxiter - 1, cdt) - it.astype(cdt)
             # theta ** rem with integer rem in [0, maxiter-2] over the
             # region where it is used (checked iterations): integer powers
             # by multiply+select instead of an emulated-f64 pow per
@@ -500,7 +513,7 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
 
         nres = lax.while_loop(newton_cond, newton_body, nst)
         nfev = nfev + nres["nfev"]
-        newt = nres["it"].astype(dtype)
+        newt = nres["it"].astype(cdt)
         theta_new = nres["theta"]
         faccon_new = nres["faccon"]
         converged = nres["code"] == _CONVERGED
@@ -513,7 +526,8 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         err_vec = solve1(lin, f2e + ms.f0)
 
         def rms(v):
-            return jnp.maximum(jnp.sqrt(jnp.mean((v / scal) ** 2)), 1e-10)
+            vc = v.astype(cdt) * inv_scal_c
+            return jnp.maximum(jnp.sqrt(jnp.mean(vc * vc)), 1e-10)
 
         err0 = rms(err_vec)
 
