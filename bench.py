@@ -21,6 +21,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the bench's ~8 configs recompile from scratch
+# otherwise (~5 min of compiles on the remote chip), which can push the run
+# past external time budgets.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ivp_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import ivp_tpu  # noqa: F401  (enables x64)
 from ivp_tpu.batch import build_ensemble_solver
 
