@@ -63,6 +63,39 @@ def test_event_overflow_flag():
                                2 * np.pi * np.arange(1, 5), atol=1e-6)
 
 
+def test_controller_precision_state_option():
+    """controller_precision='state' restores reference-precision control
+    arithmetic; both paths converge to the same solution."""
+    def vdp(t, y):
+        return jnp.array([y[1], (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+    a = solve_ivp(vdp, (0.0, 10.0), [2.0, 0.0], method="RK45",
+                  rtol=1e-8, atol=1e-10)
+    b = solve_ivp(vdp, (0.0, 10.0), [2.0, 0.0], method="RK45",
+                  rtol=1e-8, atol=1e-10,
+                  solver_options={"controller_precision": "state"})
+    np.testing.assert_allclose(a.y[:, -1], b.y[:, -1], rtol=1e-8)
+
+    s = solve_ivp(vdp, (0.0, 5.0), [2.0, 0.0], method="Radau",
+                  rtol=1e-6, atol=1e-8,
+                  solver_options={"controller_precision": "state"})
+    assert s.success
+
+
+def test_bdf_newton_unroll_option():
+    """newton_unroll=True is semantically identical to the while form."""
+    def stiff(t, y):
+        return jnp.array([y[1], 100.0 * (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+    a = solve_ivp(stiff, (0.0, 50.0), [2.0, 0.0], method="BDF",
+                  rtol=1e-5, atol=1e-7)
+    b = solve_ivp(stiff, (0.0, 50.0), [2.0, 0.0], method="BDF",
+                  rtol=1e-5, atol=1e-7,
+                  solver_options={"newton_unroll": True})
+    assert a.nstep == b.nstep and a.nfev == b.nfev
+    np.testing.assert_allclose(a.y[:, -1], b.y[:, -1], rtol=0, atol=0)
+
+
 def test_event_overflow_flag_ensemble():
     def ev(t, y):
         return y[0]
