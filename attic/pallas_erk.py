@@ -1,4 +1,19 @@
-"""Pallas fused ensemble integrator (DOPRI5, final-state mode) — EXPERIMENTAL.
+"""Pallas fused ensemble integrator (DOPRI5, final-state mode) — ARCHIVED.
+
+ROUND-3 DECISION (measured): archived out of the package per the round-2
+verdict's "one honest shot or archive".  Fresh v5e numbers (f32, VdP mu=1,
+rtol 1e-6, B=32768, lanes_per_block=512, warm): this kernel 57.4k IVPs/s vs
+the XLA vmapped while-loop driver 587.5k — a 10x loss, consistent with the
+round-2 measurement (0.2M vs 1.1M at B=131072).  Mosaic compilation of the
+full-loop kernel also takes >>5 minutes on the remote chip at large block
+counts.  XLA's fusion + software pipelining of elementwise step bodies is
+already excellent; no configuration was found where VMEM residency of the
+carry wins back the codegen gap.  The kernel below remains a correct,
+formerly-tested implementation (its controller matches methods/erk.py's
+log-facold form bit-for-bit) and the starting point if a future workload
+genuinely needs in-kernel scheduling XLA cannot express.
+"""
+_ORIGINAL_DOC = """Pallas fused ensemble integrator (DOPRI5, final-state mode) — EXPERIMENTAL.
 
 Runs the *entire adaptive integration loop inside one Pallas program* with the
 carry resident in VMEM: lanes are laid out (sublane, 128-lane) VPU-shaped, the

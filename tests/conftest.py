@@ -54,7 +54,7 @@ def pytest_collection_modifyitems(config, items):
     the heavy files shortens the tail of cold runs by minutes."""
     slow_markers = (
         "events_full_matrix", "events_backward", "integration_const_jac",
-        "test_pallas", "linear_mode_equivalence", "mixed_precision",
+        "linear_mode_equivalence", "mixed_precision",
         "sparse_difference", "test_args", "t_eval_early_event",
         "per_lane", "restart", "resume_matches",
     )

@@ -74,7 +74,8 @@ def test_aux_subsystems_present():
     from ivp_tpu.core import sparsity, linalg  # noqa: F401
     from ivp_tpu.utils import profiling, debug  # noqa: F401
     from ivp_tpu.batch import build_resumable_solver  # noqa: F401
-    from ivp_tpu.ops import pallas_erk  # noqa: F401
+    # (the Pallas alternative backend was measured 5-10x slower than the
+    # XLA driver and archived to attic/pallas_erk.py in round 3)
 
     assert callable(sparsity.column_groups)
     assert callable(linalg.lu_factor)
