@@ -553,8 +553,17 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         # Predictive Gustafsson controller.
         if p.predictive:
             can_pred = accepted & (naccpt + 1 > 1)
-            facgus = (ms.h_acc / h) * jnp.sqrt(jnp.sqrt(
-                err * err / jnp.maximum(ms.err_acc, 1e-300))) / p.safety
+            # err_acc floor must not underflow the controller dtype: in f32
+            # a 1e-300 guard becomes 0, err^2/0 = inf, and the first
+            # post-restart accepted step (h_acc = 0 from re-init while the
+            # cumulative naccpt enables prediction) computed 0 * inf = NaN
+            # for the next h.  1e-30 is f32-safe and keeps the f64 ratio
+            # finite too (err_acc is floored at 1e-2 on every accept, so
+            # the guard only matters for the init/restart zero).
+            ratio = jnp.minimum(err * err / jnp.maximum(ms.err_acc, 1e-30),
+                                1e30)  # finite: err^2 may overflow f32
+            facgus = ((ms.h_acc / h).astype(err.dtype)
+                      * jnp.sqrt(jnp.sqrt(ratio)) / p.safety)
             facgus = jnp.maximum(facr, jnp.minimum(facl, facgus))
             quot = jnp.where(can_pred, jnp.maximum(quot, facgus), quot)
             hnew = h / quot
