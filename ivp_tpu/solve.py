@@ -213,6 +213,14 @@ def solve_ivp(
     point with the modified state inside the compiled loop (the reference's
     ControlFlag::ModifiedSolution, src/solout.rs:73-78), up to
     ``max_restarts`` times; ``result.n_restarts`` reports the count.
+
+    ``time_dtype=jnp.float64`` with ``dtype=jnp.float32`` activates the
+    f64-time/f32-state hybrid: t, h and event times keep f64 resolution
+    while state arithmetic runs at f32 speed (fixes long-horizon f32 runs
+    stalling once steps fall below the f32 ulp of t).
+
+    ``result.event_overflow`` flags events whose fixed-capacity record
+    buffer (``event_capacity``) dropped occurrences.
     """
     del vectorized  # the RHS is traced; vectorization is inherent
     dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
