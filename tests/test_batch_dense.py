@@ -114,6 +114,28 @@ def test_batched_dense_event_restart_lane():
         assert batched[b][0].min() > -1e-6
 
 
+def test_batched_dense_backward_and_extrapolation():
+    """Backward-time ensembles record descending edges; queries beyond the
+    covered span extrapolate with the first/last segment (SciPy semantics,
+    same as the single-IVP OdeSolution)."""
+    y0 = np.array([[2.0, 0.0], [1.0, 1.0]])
+    res = solve_ivp_ensemble(vdp, (8.0, 0.0), y0, method="RK45",
+                             rtol=1e-7, atol=1e-9, dense_output=True)
+    assert np.all(np.asarray(res.status) == 0)
+    ts_q = np.linspace(8.0, 0.0, 33)
+    batched = res.sol(ts_q)
+    for b in range(2):
+        ref = solve_ivp(vdp, (8.0, 0.0), y0[b], method="RK45",
+                        rtol=1e-7, atol=1e-9, dense_output=True)
+        np.testing.assert_allclose(batched[b], ref.sol(ts_q), rtol=0,
+                                   atol=1e-8)
+        # extrapolation beyond both ends matches the single-IVP evaluator
+        np.testing.assert_allclose(res.sol(-0.3)[b], ref.sol(-0.3),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(res.sol(8.2)[b], ref.sol(8.2),
+                                   rtol=0, atol=1e-6)
+
+
 def test_record_trajectories_without_dense():
     """record_trajectories=True returns (ts, ys) step records but no sol."""
     y0 = np.array([[2.0, 0.0]])
