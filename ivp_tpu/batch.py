@@ -504,6 +504,15 @@ class BatchOdeSolution:
 
         sgn = 1.0 if self._forward else -1.0
         # (B, m) segment indices via batched searchsorted.
+        return self._eval(ts, sgn, scalar)
+
+    def t_span(self):
+        """Per-lane covered spans: ``(t_mins, t_maxs)`` arrays of shape (B,)
+        (the batched analog of OdeSolution.t_span / reference cont.rs:67-76)."""
+        return self.t_mins, self.t_maxs
+
+    def _eval(self, ts, sgn, scalar):
+        B, m = ts.shape
         idx = np.asarray(jax.vmap(
             lambda e, tq: jnp.searchsorted(e, tq, side="left"))(
                 jnp.asarray(sgn * self._search_edges), jnp.asarray(sgn * ts)))
