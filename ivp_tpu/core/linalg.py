@@ -358,3 +358,149 @@ def lu_solve_complex(lu_piv, br, bi):
     n = br.shape[-1]
     x = lu_solve(lu_piv, jnp.concatenate([br, bi], axis=-1))
     return x[..., :n], x[..., n:]
+
+
+# =============================================================================
+# Complex-pair LU (true complex factorization on (re, im) arrays)
+# =============================================================================
+#
+# The split-real 2n x 2n embedding above costs 8/3 n^3 real multiplies and 2n
+# sequential pivot steps.  Factoring the complex matrix directly on (re, im)
+# pairs — the reference's approach, src/matrix/lu.rs:178-302 — costs 4/3 n^3
+# real multiplies over n pivot steps: half the flops AND half the sequential
+# depth, which is what dominates the per-attempt cost of mid-size Radau
+# ensembles (docs/BENCH.md mid-size table).  Pivoting uses the |re| + |im|
+# magnitude like the reference.
+
+def lu_factor_cpair(ar, ai):
+    """Complex partial-pivot LU on (re, im) pairs.
+
+    Returns ((lur, lui, P), singular_flag) with L (unit diagonal, strictly
+    below) and U packed like ``lu_factor``; P is the real permutation matrix.
+    """
+    n = ar.shape[-1]
+    rows = jnp.arange(n)
+    dtype = ar.dtype
+
+    def _row(m, mask):
+        return jnp.sum(jnp.where(mask[:, None], m, 0.0), axis=0)
+
+    def _col(m, k):
+        return jnp.sum(jnp.where(rows[None, :] == k, m, 0.0), axis=1)
+
+    def body(k, carry):
+        lur, lui, P, sing = carry
+        mag = jnp.where(rows >= k,
+                        jnp.abs(_col(lur, k)) + jnp.abs(_col(lui, k)), -1.0)
+        p = jnp.argmax(mag)
+
+        is_k = rows == k
+        is_p = rows == p
+        fk = is_k.astype(dtype)
+        fp = is_p.astype(dtype)
+
+        def swap(m):
+            rk = _row(m, is_k)
+            rp = _row(m, is_p)
+            return (m - fk[:, None] * (rk - rp)[None, :]
+                      - fp[:, None] * (rp - rk)[None, :])
+
+        lur = swap(lur)
+        lui = swap(lui)
+        P = swap(P)
+
+        colr = _col(lur, k)
+        coli = _col(lui, k)
+        piv_r = jnp.sum(jnp.where(is_k, colr, 0.0))
+        piv_i = jnp.sum(jnp.where(is_k, coli, 0.0))
+        pmag = jnp.abs(piv_r) + jnp.abs(piv_i)
+        sing = sing | (pmag == 0.0) | ~jnp.isfinite(pmag)
+        # complex reciprocal of the pivot (den guarded when singular)
+        den = piv_r * piv_r + piv_i * piv_i
+        den = jnp.where(den == 0.0, 1.0, den)
+        inv_r = piv_r / den
+        inv_i = -piv_i / den
+
+        below = rows > k
+        fr = jnp.where(below, colr, 0.0)
+        fi = jnp.where(below, coli, 0.0)
+        fac_r = fr * inv_r - fi * inv_i
+        fac_i = fr * inv_i + fi * inv_r
+
+        ur = _row(lur, is_k)
+        ui = _row(lui, is_k)
+        right = rows[None, :] > k
+        ur_u = jnp.where(right, ur[None, :], 0.0)
+        ui_u = jnp.where(right, ui[None, :], 0.0)
+        # complex rank-1 update of the trailing block
+        lur = lur - (fac_r[:, None] * ur_u - fac_i[:, None] * ui_u)
+        lui = lui - (fac_r[:, None] * ui_u + fac_i[:, None] * ur_u)
+        # store the complex multipliers in column k below the diagonal
+        in_col = below[:, None] & (rows[None, :] == k)
+        lur = jnp.where(in_col, fac_r[:, None], lur)
+        lui = jnp.where(in_col, fac_i[:, None], lui)
+        return lur, lui, P, sing
+
+    carry = (jnp.asarray(ar), jnp.asarray(ai), jnp.eye(n, dtype=dtype),
+             jnp.zeros((), bool))
+    if n <= UNROLL_N:
+        for k in range(n):
+            carry = body(k, carry)
+    else:
+        carry = lax.fori_loop(0, n, body, carry)
+    lur, lui, P, sing = carry
+    return (lur, lui, P), sing
+
+
+def lu_solve_cpair(lu_rep, br, bi):
+    """Solve (ar + i*ai)(xr + i*xi) = br + i*bi from ``lu_factor_cpair``."""
+    lur, lui, P = lu_rep
+    n = lur.shape[-1]
+    rows = jnp.arange(n)
+    dtype = lur.dtype
+
+    xr = jnp.sum(P * jnp.asarray(br)[None, :], axis=1)
+    xi = jnp.sum(P * jnp.asarray(bi)[None, :], axis=1)
+
+    def _row(m, mask):
+        return jnp.sum(jnp.where(mask[:, None], m, 0.0), axis=0)
+
+    def fwd(k, x):
+        xr, xi = x
+        is_k = rows == k
+        left = rows < k
+        lr = jnp.where(left, _row(lur, is_k), 0.0)
+        li = jnp.where(left, _row(lui, is_k), 0.0)
+        sr = jnp.sum(lr * xr - li * xi)
+        si = jnp.sum(lr * xi + li * xr)
+        f = is_k.astype(dtype)
+        return xr - f * sr, xi - f * si
+
+    def bwd(i, x):
+        xr, xi = x
+        k = n - 1 - i
+        is_k = rows == k
+        ur = _row(lur, is_k)
+        ui = _row(lui, is_k)
+        right = rows > k
+        ukr = jnp.where(right, ur, 0.0)
+        uki = jnp.where(right, ui, 0.0)
+        rr = jnp.sum(jnp.where(is_k, xr, 0.0)) - jnp.sum(ukr * xr - uki * xi)
+        ri = jnp.sum(jnp.where(is_k, xi, 0.0)) - jnp.sum(ukr * xi + uki * xr)
+        dr = jnp.sum(jnp.where(is_k, ur, 0.0))
+        di = jnp.sum(jnp.where(is_k, ui, 0.0))
+        den = dr * dr + di * di
+        den = jnp.where(den == 0.0, 1.0, den)
+        vr = (rr * dr + ri * di) / den
+        vi = (ri * dr - rr * di) / den
+        return (jnp.where(is_k, vr, xr), jnp.where(is_k, vi, xi))
+
+    x = (xr, xi)
+    if n <= UNROLL_N:
+        for k in range(n):
+            x = fwd(k, x)
+        for i in range(n):
+            x = bwd(i, x)
+        return x
+    x = lax.fori_loop(0, n, fwd, x)
+    return lax.fori_loop(0, n, bwd, x)

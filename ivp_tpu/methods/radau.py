@@ -31,8 +31,8 @@ from ..core.common import safe_pow
 from ..core.block_tridiag import (blocks_from_dense, btd_factor,
                                   btd_factor_complex, btd_solve,
                                   btd_solve_complex, pad_rhs)
-from ..core.linalg import (inv, inv_complex, lu_factor, lu_factor_complex,
-                           lu_solve, lu_solve_complex, matvec,
+from ..core.linalg import (inv, inv_complex, lu_factor, lu_factor_cpair,
+                           lu_solve, lu_solve_cpair, matvec,
                            solve_complex_inv)
 from .base import Engine, RunArgs, StepProposal
 
@@ -209,21 +209,24 @@ def make_linear_backend(p: RadauParams):
             eye = jnp.eye(n, dtype=dtype)
             return factor(eye, eye, jnp.zeros((n, n), dtype))[0]
     else:
+        # Complex-pair LU for E2: half the flops and half the sequential
+        # depth of the former split-real 2n x 2n embedding (linalg.py) —
+        # the dominant cost of mid-size dense Radau ensembles.
         def factor(e1, e2r, e2i):
             lu1_piv, s1 = lu_factor(e1)
-            lu2_piv, s2 = lu_factor_complex(e2r, e2i)
-            return (lu1_piv, lu2_piv), s1 | s2
+            lu2_rep, s2 = lu_factor_cpair(e2r, e2i)
+            return (lu1_piv, lu2_rep), s1 | s2
 
         def solve1(lin, b):
             return lu_solve(lin[0], b)
 
         def solve2(lin, br_, bi_):
-            return lu_solve_complex(lin[1], br_, bi_)
+            return lu_solve_cpair(lin[1], br_, bi_)
 
         def zero_lin(dtype):
-            return ((jnp.zeros((n, n), dtype), jnp.eye(n, dtype=dtype)),
-                    (jnp.zeros((2 * n, 2 * n), dtype),
-                     jnp.eye(2 * n, dtype=dtype)))
+            z = jnp.zeros((n, n), dtype)
+            return ((z, jnp.eye(n, dtype=dtype)),
+                    (z, z, jnp.eye(n, dtype=dtype)))
 
     if p.newton_precision == "mixed":
         f32 = jnp.float32

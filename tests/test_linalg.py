@@ -50,6 +50,47 @@ def test_lu_complex_roundtrip(n):
     np.testing.assert_allclose(np.asarray(xi), z.imag, atol=1e-10)
 
 
+@pytest.mark.parametrize("n", [1, 2, 3, 6, 17, 32])
+def test_lu_cpair_matches_numpy(n):
+    """Complex-pair LU (half the flops/depth of the split-real embedding;
+    Radau's E2 backend for n > 8) vs numpy's complex solve, including a
+    pivoting-required case and large 1/h-scale entries."""
+    from ivp_tpu.core.linalg import lu_factor_cpair, lu_solve_cpair
+
+    rng = np.random.default_rng(n + 7)
+    ar = rng.standard_normal((n, n))
+    ai = rng.standard_normal((n, n))
+    if n >= 2:
+        ar[0, 0] = 0.0  # force a pivot swap at k=0
+        ai[0, 0] = 0.0
+    br = rng.standard_normal(n)
+    bi = rng.standard_normal(n)
+    rep, sing = lu_factor_cpair(jnp.asarray(ar), jnp.asarray(ai))
+    assert not bool(sing)
+    xr, xi = lu_solve_cpair(rep, jnp.asarray(br), jnp.asarray(bi))
+    z = np.linalg.solve(ar + 1j * ai, br + 1j * bi)
+    np.testing.assert_allclose(np.asarray(xr), z.real, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(xi), z.imag, atol=1e-9)
+
+    # Radau E2-like scales: (alpha + i*beta)/h with h ~ 1e-6.
+    e2r = 3.0e6 * np.eye(n) - ar
+    e2i = 2.5e6 * np.eye(n)
+    rep, sing = lu_factor_cpair(jnp.asarray(e2r), jnp.asarray(e2i))
+    assert not bool(sing)
+    xr, xi = lu_solve_cpair(rep, jnp.asarray(br), jnp.asarray(bi))
+    z = np.linalg.solve(e2r + 1j * e2i, br + 1j * bi)
+    np.testing.assert_allclose(np.asarray(xr), z.real, rtol=1e-9, atol=1e-16)
+    np.testing.assert_allclose(np.asarray(xi), z.imag, rtol=1e-9, atol=1e-16)
+
+
+def test_lu_cpair_singular_flag():
+    from ivp_tpu.core.linalg import lu_factor_cpair
+
+    a = np.zeros((3, 3))
+    _, sing = lu_factor_cpair(jnp.asarray(a), jnp.asarray(a))
+    assert bool(sing)
+
+
 @pytest.mark.parametrize("n", [1, 2, 3, 5, 12])
 @pytest.mark.parametrize("scale", [1.0, 1e9, 1e-9])
 def test_inv_matches_numpy(n, scale):
