@@ -88,12 +88,11 @@ def erk_init(rhs, t0, y0, first_step, ra: RunArgs, p: ERKParams):
     else:
         h, _ = hinit(rhs, t0, y0, posneg, k1, p.iord, ra.hmax, ra.atol, ra.rtol)
         nfev = 2
-    zero = jnp.zeros((), y0.dtype)
     cdt = jnp.float32 if p.controller_precision == "float32" else y0.dtype
     ms = ERKState(
         h=h, k1=k1, facold=jnp.log(jnp.full((), 1e-4, cdt)),
         reject=jnp.zeros((), bool), iasti=_i32(0), nonstiff=_i32(0),
-        hlamb=zero, posneg=posneg,
+        hlamb=jnp.zeros((), cdt), posneg=posneg,
     )
     return ms, nfev
 
@@ -133,17 +132,23 @@ def dopri5_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     err_vec = hy * dotk(E, ks)
     sk = (ra.atol.astype(cdt)
           + ra.rtol.astype(cdt)
-          * jnp.maximum(jnp.abs(y), jnp.abs(ynew)).astype(cdt))
+          * jnp.maximum(jnp.abs(y.astype(cdt)), jnp.abs(ynew.astype(cdt))))
     err = scaled_rms(err_vec.astype(cdt), sk)
 
     accepted = (err <= 1.0) & ~too_small
 
     # --- Stiffness detection (reference dopri5.rs:363-391) ---
+    # The detector compares h*sqrt(||k7-k6||^2/||ynew-ysti||^2) to a 3.25
+    # threshold — a yes/no classifier that needs no precision, so its
+    # square-sums, divide and sqrt run in controller precision (under
+    # emulated f64 the divide+sqrt alone are ~dozens of amplified ops,
+    # executed every attempt under vmap).
     do_stiff = accepted & (((naccpt + 1) % p.stiff_test == 0) | (ms.iasti > 0))
-    stnum = jnp.sum((k7 - k6) ** 2)
-    stden = jnp.sum((ynew - ysti) ** 2)
+    stnum = jnp.sum((k7 - k6).astype(cdt) ** 2)
+    stden = jnp.sum((ynew - ysti).astype(cdt) ** 2)
     hlamb = jnp.where(do_stiff & (stden > 0.0),
-                      jnp.abs(hy) * jnp.sqrt(stnum / stden), ms.hlamb)
+                      jnp.abs(hy).astype(cdt) * jnp.sqrt(stnum / stden),
+                      ms.hlamb)
     is_stiff = hlamb > p.stiff_threshold
     iasti = jnp.where(do_stiff, jnp.where(is_stiff, ms.iasti + 1, ms.iasti), ms.iasti)
     nonstiff = jnp.where(do_stiff,
@@ -240,7 +245,7 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     cdt = jnp.float32 if p.controller_precision == "float32" else y.dtype
     sk = (ra.atol.astype(cdt)
           + ra.rtol.astype(cdt)
-          * jnp.maximum(jnp.abs(y), jnp.abs(ynew)).astype(cdt))
+          * jnp.maximum(jnp.abs(y.astype(cdt)), jnp.abs(ynew.astype(cdt))))
     bh1, bh2, bh3 = tab.DOP853_BH
     err2_vec = (kb - bh1 * ks[0] - bh2 * ks[8] - bh3 * ks[11]).astype(cdt)
     err5_vec = dotk(tab.DOP853_ER, ks).astype(cdt)
@@ -277,12 +282,14 @@ def dop853_attempt(rhs, t, y, naccpt, ms: ERKState, ra: RunArgs, p: ERKParams):
     f_new, k14, k15, k16 = lax.cond(accepted, _post_accept, _post_reject)
     nfev = _i32(11) + jnp.where(accepted, 4 if p.need_cont else 1, 0).astype(jnp.int32)
 
-    # --- Stiffness detection (reference dop853.rs:447-472) ---
+    # --- Stiffness detection (reference dop853.rs:447-472; square-sums,
+    #     divide and sqrt in controller precision — see the DOPRI5 note) ---
     do_stiff = accepted & (((naccpt + 1) % p.stiff_test == 0) | (ms.iasti > 0))
-    stnum = jnp.sum((f_new - ks[11]) ** 2)
-    stden = jnp.sum((ynew - y12) ** 2)
+    stnum = jnp.sum((f_new - ks[11]).astype(cdt) ** 2)
+    stden = jnp.sum((ynew - y12).astype(cdt) ** 2)
     hlamb = jnp.where(do_stiff & (stden > 0.0),
-                      jnp.abs(hy) * jnp.sqrt(stnum / stden), ms.hlamb)
+                      jnp.abs(hy).astype(cdt) * jnp.sqrt(stnum / stden),
+                      ms.hlamb)
     is_stiff = hlamb > p.stiff_threshold
     iasti = jnp.where(do_stiff, jnp.where(is_stiff, ms.iasti + 1, ms.iasti), ms.iasti)
     nonstiff = jnp.where(do_stiff,
