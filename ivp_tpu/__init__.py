@@ -28,6 +28,8 @@ from .types import Status, EventConfig                       # noqa: E402
 from .solve import solve_ivp, OdeResult, OdeSolution         # noqa: E402
 from .batch import solve_ivp_ensemble, EnsembleResult        # noqa: E402
 from .parallel.sharding import solve_ivp_sharded             # noqa: E402
+from .core import ddmath                                     # noqa: E402
+from .core.ddmath import DD                                  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -40,4 +42,6 @@ __all__ = [
     "EnsembleResult",
     "Status",
     "EventConfig",
+    "ddmath",
+    "DD",
 ]

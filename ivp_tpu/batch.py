@@ -21,8 +21,17 @@ from .types import canonical_method
 from .core.cache import LRUCache, cache_token
 from .core.driver import DriverConfig, make_driver, run_args
 from .core.events import EventSpec
+from .core import ddmath as ddm
 from .methods import get_engine
 from .methods.base import RunArgs
+
+
+def _is_dd(dtype) -> bool:
+    """True for the double-float precision tier (``dtype="dd"``): f64-class
+    state precision from hand-rolled f32-pair arithmetic (core/ddmath.py) —
+    2-3x faster than the platform's f64 emulation on this TPU."""
+    return isinstance(dtype, str) and dtype.lower() in ("dd", "ddf32",
+                                                        "double-float")
 
 
 def _norm_tol(v, B, n, dtype, name):
@@ -125,9 +134,25 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     f64-time/f32-state hybrid — t, h and event times keep f64 resolution
     while state math runs at f32 speed (fixes the f32 long-horizon limit
     where ``t + h == t`` once steps fall below the f32 ulp of t).
+
+    ``dtype="dd"``: f64-class state precision via the framework's own
+    double-float arithmetic (core/ddmath.py) — 2-3x faster than the
+    platform's f64 emulation on TPU.  Explicit methods only; the RHS
+    receives and must return a :class:`~ivp_tpu.core.ddmath.DD`
+    (write it with DD operators / ``ddmath.stack``).  Final states are
+    returned as f64.
     """
-    dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
-    tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
+    use_dd = _is_dd(dtype)
+    if use_dd:
+        dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
+        tdt = jnp.dtype(jnp.float64)     # exact time axis
+        if events or max_restarts:
+            raise ValueError(
+                "dtype='dd' does not support events/restarts yet — use "
+                "dtype=float32 with time_dtype=float64, or dtype=float64")
+    else:
+        dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+        tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
     method = canonical_method(method)
 
     ev_list = list(events) if events else []
@@ -155,8 +180,18 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         """Engine + driver closures for one lane's args (traced per-lane
         when args_batched; once otherwise)."""
 
-        def rhs(t, y):
-            return jnp.asarray(fun(t, y, *args_), dtype).reshape(n)
+        if use_dd:
+            def rhs(t, y):
+                out = fun(t, y, *args_)
+                if not isinstance(out, ddm.DD):
+                    raise TypeError(
+                        "dtype='dd' RHS must return a DD (build it with DD "
+                        "operators and ivp_tpu.ddmath.stack); got "
+                        f"{type(out).__name__}")
+                return out.reshape(n)
+        else:
+            def rhs(t, y):
+                return jnp.asarray(fun(t, y, *args_), dtype).reshape(n)
 
         jac_fn = None
         if method in ("RADAU", "BDF"):
@@ -175,8 +210,15 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                      for e in ev_list])
 
         restart_fns = [getattr(e, "restart", None) for e in ev_list]
-        engine, p = get_engine(method, need_cont=bool(n_ev) or sample_cap > 0,
-                               jac_fn=jac_fn, n=n, **(solver_options or {}))
+        if use_dd:
+            from .methods import dd_erk
+            engine, p = dd_erk.make_engine(method, need_cont=sample_cap > 0,
+                                           **(solver_options or {}))
+        else:
+            engine, p = get_engine(method,
+                                   need_cont=bool(n_ev) or sample_cap > 0,
+                                   jac_fn=jac_fn, n=n,
+                                   **(solver_options or {}))
         init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs,
                                                   events_fn, restart_fns)
         return init_carry, run_chunk
@@ -211,7 +253,10 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         t_eval grid / per-lane args with explicitly passed arrays — required
         when the batch axis is sharded (shard_map slices arguments, not
         closure constants; parallel/sharding.py)."""
-        y0_batch = jnp.asarray(y0_batch, dtype)
+        if use_dd:
+            y0_batch = ddm.from_f64(jnp.asarray(y0_batch, jnp.float64))
+        else:
+            y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
         t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
         tf_b = jnp.broadcast_to(jnp.asarray(tf, tdt), (B,))
@@ -241,9 +286,12 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         else:
             lane_args = ()
             ax_args = ()
-        return jax.vmap(solve_one,
-                        in_axes=(0, 0, 0, ax_r, ax_a, ax_g, ax_args))(
+        res = jax.vmap(solve_one,
+                       in_axes=(0, 0, 0, ax_r, ax_a, ax_g, ax_args))(
             y0_batch, t0_b, tf_b, rtol_v, atol_v, grid, lane_args)
+        if use_dd:
+            res = res._replace(y=ddm.to_f64(res.y))
+        return res
 
     return solver
 

@@ -1,0 +1,279 @@
+"""Double-float ("dd") arithmetic: f64-class precision from f32 pairs.
+
+This TPU has no native f64: XLA emulates it as a double-float (two f32s)
+with full special-case handling — the optimized HLO of one ERK attempt shows
+~34x instruction amplification, over a third of it `is-finite`/bitmask
+special-case plumbing and accurate-renormalization chains (docs/BENCH.md
+roofline; docs/TPU_NOTES.md #14/#17 document the emulation's f32-range
+limit, which confirms the representation).
+
+This module is the framework's own double-float arithmetic, tuned for the
+ODE hot loop where the special cases cannot occur (state arithmetic on
+finite, well-scaled values) and where sloppy renormalization is sufficient
+(~2^-48 relative error per op, accumulated global rounding ~1e-12 over
+thousands of steps — far below integration tolerances):
+
+* TwoSum/QuickTwoSum (Knuth/Dekker, branch-free) with single-pass
+  renormalization — ~11 f32 ops per add vs the emulation's ~25+.
+* TwoProd via Dekker splitting (the VPU exposes no single-rounding FMA
+  through XLA) with second-order cross terms dropped — ~21 ops per multiply.
+* No NaN/inf/signed-zero handling: integrator state that goes non-finite is
+  caught by the driver's error-norm checks, exactly as in the f32 path.
+
+The resulting ``dtype="dd"`` ensembles run the *state* arithmetic here while
+step control, error norms and the stiffness classifier run in plain f32 off
+the hi words (the same proven design as ``controller_precision="float32"``),
+and the time axis stays in platform f64 (exact t accumulation).
+
+``DD`` is a NamedTuple pytree, so it vmaps/jits/checkpoints like any array.
+
+No counterpart exists in the reference (reference src/ is CPU Rust with
+native f64); this is TPU-first design per the hardware guide.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+_SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker split constant for f32
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (6 flops, branch-free)."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _quick_two_sum(a, b):
+    """Dekker FastTwoSum (requires |a| >= |b| for exactness; used for
+    renormalization where the invariant holds to rounding)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    t = _SPLIT * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd: p + e == a * b exactly (no FMA on the VPU path)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+class DD(NamedTuple):
+    """A double-float number/array: value = hi + lo, |lo| <= ulp(hi)/2.
+
+    Arithmetic operators accept DD, plain f32 arrays and Python scalars
+    (scalars are split to dd constants at trace time).  Tuple's sequence
+    semantics (`+` concat, `*` repeat) are overridden.
+    """
+
+    hi: Any
+    lo: Any
+
+    # ---- pytree-friendly metadata -------------------------------------
+    @property
+    def dtype(self):
+        return self.hi.dtype
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+    @property
+    def ndim(self):
+        return self.hi.ndim
+
+    def __getitem__(self, idx):
+        # NamedTuple's int-indexing is shadowed on purpose: dd[0] slices the
+        # number array, use .hi/.lo for the fields.
+        return DD(self.hi[idx], self.lo[idx])
+
+    def astype(self, dtype):
+        if dtype == self.hi.dtype:
+            return self
+        return to_f64(self).astype(dtype)
+
+    def reshape(self, *shape):
+        return DD(self.hi.reshape(*shape), self.lo.reshape(*shape))
+
+    # ---- arithmetic ---------------------------------------------------
+    def __add__(self, other):
+        return add(self, _coerce(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return add(self, neg(_coerce(other)))
+
+    def __rsub__(self, other):
+        return add(_coerce(other), neg(self))
+
+    def __mul__(self, other):
+        o = _coerce(other)
+        return mul(self, o)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return DD(-self.hi, -self.lo)
+
+    def __truediv__(self, other):
+        return div(self, _coerce(other))
+
+    def __rtruediv__(self, other):
+        return div(_coerce(other), self)
+
+    def __pow__(self, k):
+        if not isinstance(k, int) or k < 1:
+            raise TypeError("DD ** only supports positive integer powers")
+        r = self
+        for _ in range(k - 1):
+            r = mul(r, self)
+        return r
+
+
+def _coerce(v) -> DD:
+    if isinstance(v, DD):
+        return v
+    if isinstance(v, (int, float, np.floating, np.integer)):
+        return const(float(v))
+    a = jnp.asarray(v)
+    if a.dtype == jnp.float32:
+        return DD(a, jnp.zeros_like(a))
+    return from_f64(a)
+
+
+def const(x: float) -> DD:
+    """Split a Python float into an exact dd constant (trace-time)."""
+    hi = np.float32(x)
+    lo = np.float32(x - float(hi))
+    return DD(jnp.float32(hi), jnp.float32(lo))
+
+
+def from_f64(x) -> DD:
+    """Split an f64 (or any) array into a dd pair."""
+    x = jnp.asarray(x)
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return DD(hi, lo)
+
+
+def from_f32(x) -> DD:
+    x = jnp.asarray(x, jnp.float32)
+    return DD(x, jnp.zeros_like(x))
+
+
+def to_f64(x: DD):
+    return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+
+
+def add(x: DD, y: DD) -> DD:
+    """Sloppy dd addition (Dekker add2): ~2^-48 relative error."""
+    s, e = _two_sum(x.hi, y.hi)
+    e = e + (x.lo + y.lo)
+    return DD(*_quick_two_sum(s, e))
+
+
+def neg(x: DD) -> DD:
+    return DD(-x.hi, -x.lo)
+
+
+def mul(x: DD, y: DD) -> DD:
+    """dd multiply; second-order (lo*lo) term dropped (~2^-48 relative)."""
+    p, e = _two_prod(x.hi, y.hi)
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    return DD(*_quick_two_sum(p, e))
+
+
+def mul_pot(x: DD, s) -> DD:
+    """Multiply by an exact power of two (error-free: both words scale)."""
+    return DD(x.hi * s, x.lo * s)
+
+
+def mul_f32(x: DD, s) -> DD:
+    """Multiply by a plain-f32 scalar/array (no low word: e.g. an f32 step
+    size) — one split cheaper than a general dd multiply."""
+    p, e = _two_prod(x.hi, s)
+    e = e + x.lo * s
+    return DD(*_quick_two_sum(p, e))
+
+
+def div(x: DD, y: DD) -> DD:
+    """dd division via reciprocal refinement (one Newton step on f32 seed)."""
+    # q1 ~ f32 quotient; r = x - q1*y in dd; q2 = r.hi / y.hi correction.
+    q1 = x.hi / y.hi
+    r = add(x, neg(mul(from_f32(q1), y)))
+    q2 = (r.hi + r.lo) / y.hi
+    return DD(*_quick_two_sum(q1, q2))
+
+
+def sqrt(x: DD) -> DD:
+    """dd sqrt via one Newton/Heron refinement of the f32 seed."""
+    s = jnp.sqrt(x.hi)
+    # e = (x - s*s) / (2s), computed with an exact square of the seed.
+    p, pe = _two_prod(s, s)
+    d = add(x, DD(-p, -pe))
+    e = (d.hi + d.lo) / (2.0 * s)
+    return DD(*_quick_two_sum(s, e))
+
+
+def where(pred, x: DD, y: DD) -> DD:
+    return DD(jnp.where(pred, x.hi, y.hi), jnp.where(pred, x.lo, y.lo))
+
+
+def stack(parts, axis=0) -> DD:
+    parts = [_coerce(p) for p in parts]
+    return DD(jnp.stack([p.hi for p in parts], axis=axis),
+              jnp.stack([p.lo for p in parts], axis=axis))
+
+
+def concatenate(parts, axis=0) -> DD:
+    parts = [_coerce(p) for p in parts]
+    return DD(jnp.concatenate([p.hi for p in parts], axis=axis),
+              jnp.concatenate([p.lo for p in parts], axis=axis))
+
+
+def zeros(shape, like: DD | None = None) -> DD:
+    return DD(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+
+
+def dot_const(coeffs, ks) -> DD:
+    """Sum_i c_i * k_i with dd accuracy: Python-float coefficients are split
+    to dd constants at trace time; exact zeros are skipped (Butcher tableaus
+    are sparse).  This is the dd counterpart of methods/base.py::dotk."""
+    acc = None
+    for c, k in zip(coeffs, ks):
+        c = float(c)
+        if c == 0.0:
+            continue
+        term = mul(k, const(c))
+        acc = term if acc is None else add(acc, term)
+    if acc is None:
+        return zeros(ks[0].shape)
+    return acc
+
+
+def dot_hi_f32(coeffs, ks) -> Any:
+    """Sum_i c_i * k_i.hi in plain f32 — for error vectors, whose norm chain
+    runs in f32 anyway (controller_precision design, methods/erk.py)."""
+    acc = None
+    for c, k in zip(coeffs, ks):
+        c = np.float32(c)
+        if c == 0.0:
+            continue
+        term = c * k.hi
+        acc = term if acc is None else acc + term
+    return acc

@@ -1,0 +1,294 @@
+"""Explicit RK engines over the framework's own double-float arithmetic.
+
+``dtype="dd"`` runs the *state* arithmetic in hand-rolled double-f32
+(core/ddmath.py) instead of the platform's f64 emulation: same precision
+class (this TPU's "f64" is itself a range-limited double-float — see
+docs/TPU_NOTES.md #14), at a fraction of the instruction count, because the
+ODE hot loop needs none of the emulation's NaN/inf special-case plumbing
+and can estimate errors in plain f32 off the hi words (the proven
+``controller_precision="float32"`` design, methods/erk.py).
+
+Precision split per attempt:
+* stage states / increments / ynew : dd        (the solution path)
+* time axis t, h, tend             : platform f64 (exact accumulation; for
+                                     autonomous systems XLA dead-code
+                                     eliminates the unused stage times)
+* error norm, controller, stiffness: f32       (chooses h only)
+* dense coefficients               : f32       (sampling/event localization)
+
+Algorithmic parity with methods/erk.py (itself at formula parity with
+reference src/methods/dopri5.rs:266-478, rk23.rs:188-321): identical
+controllers, counters and status logic — only the arithmetic carrier of the
+state differs.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from .. import tableaus as tab
+from ..types import Status
+from ..core import ddmath as ddm
+from ..core.ddmath import DD
+from .base import Engine, RunArgs, StepProposal
+from .erk import ERKParams, ERKState, DOPRI5_DEFAULTS, RK23_DEFAULTS
+
+
+def _i32(v):
+    return jnp.asarray(v, jnp.int32)
+
+
+def _hinit_f32(rhs, t, y: DD, posneg, f0: DD, iord, hmax, atol, rtol):
+    """Hairer HINIT with the norms in f32 off the hi words (the heuristic
+    chooses an order of magnitude; cf. core/common.py::hinit)."""
+    sk = atol + rtol * jnp.abs(y.hi)
+    dnf = jnp.sum((f0.hi / sk) ** 2)
+    dny = jnp.sum((y.hi / sk) ** 2)
+    h = jnp.where((dnf <= 1e-10) | (dny <= 1e-10), 1.0e-6,
+                  jnp.sqrt(dny / dnf) * 0.01)
+    h = jnp.minimum(h, jnp.abs(hmax).astype(jnp.float32))
+    h = h * posneg
+
+    y1 = y + ddm.mul_f32(f0, h)
+    f1 = rhs(t + h.astype(hmax.dtype), y1)
+
+    df = (f1.hi - f0.hi) / sk
+    der2 = jnp.sqrt(jnp.sum(df * df)) / jnp.abs(h)
+    der12 = jnp.maximum(jnp.abs(der2), jnp.sqrt(dnf))
+    h1 = jnp.where(der12 <= 1.0e-15,
+                   jnp.maximum(1.0e-6, jnp.abs(h) * 1.0e-3),
+                   (0.01 / der12) ** (1.0 / iord))
+    h_final = jnp.minimum(jnp.minimum(jnp.abs(h), h1),
+                          jnp.abs(hmax).astype(jnp.float32))
+    return h_final * posneg, f1
+
+
+def dd_erk_init(rhs, t0, y0: DD, first_step, ra: RunArgs, p: ERKParams):
+    """dd method state.  The step size ``h`` is carried in *f32* (a step size
+    is a controller choice, good to a few digits by construction) while ``t``
+    accumulates in platform f64 — this leaves exactly two emulated-f64 ops
+    per attempt (``tend - t`` and ``t + h``)."""
+    posneg = jnp.sign(ra.tend - t0).astype(jnp.float32)
+    k1 = rhs(t0, y0)
+    if first_step is not None:
+        h = jnp.abs(jnp.asarray(first_step, jnp.float32)) * posneg
+        nfev = 1
+    else:
+        h, _ = _hinit_f32(rhs, t0, y0, posneg, k1, p.iord, ra.hmax,
+                          ra.atol, ra.rtol)
+        nfev = 2
+    ms = ERKState(
+        h=h, k1=k1, facold=jnp.log(jnp.full((), 1e-4, jnp.float32)),
+        reject=jnp.zeros((), bool), iasti=_i32(0), nonstiff=_i32(0),
+        hlamb=jnp.zeros((), jnp.float32), posneg=posneg,
+    )
+    return ms, nfev
+
+
+def dd_dopri5_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
+                      p: ERKParams):
+    A, C, E, D = tab.DOPRI5_A, tab.DOPRI5_C, tab.DOPRI5_E, tab.DOPRI5_D
+    h, posneg = ms.h, ms.posneg  # h, posneg: f32 (see dd_erk_init)
+    facc1 = 1.0 / p.scale_min
+    facc2 = 1.0 / p.scale_max
+    expo1 = 0.2 - p.beta * 0.75
+
+    too_small = 0.1 * jnp.abs(h) <= jnp.abs(t).astype(jnp.float32) * p.uround
+    # Landing test in f32 on the *remaining interval* (tend - t is the only
+    # place t-resolution matters; its f64 subtraction is one of exactly two
+    # emulated-f64 ops per attempt, the other being t + h below).
+    dt_left = (ra.tend - t).astype(jnp.float32)
+    last = (1.01 * h - dt_left) * posneg > 0.0
+    h = jnp.where(last, dt_left, h)
+    h64 = h.astype(t.dtype)  # stage times (DCE'd for autonomous systems)
+
+    k1 = ms.k1
+    k2 = rhs(t + C[1] * h64, y + ddm.mul_f32(ddm.dot_const(A[0], [k1]), h))
+    k3 = rhs(t + C[2] * h64,
+             y + ddm.mul_f32(ddm.dot_const(A[1], [k1, k2]), h))
+    k4 = rhs(t + C[3] * h64,
+             y + ddm.mul_f32(ddm.dot_const(A[2], [k1, k2, k3]), h))
+    k5 = rhs(t + C[4] * h64,
+             y + ddm.mul_f32(ddm.dot_const(A[3], [k1, k2, k3, k4]), h))
+    ysti = y + ddm.mul_f32(ddm.dot_const(A[4], [k1, k2, k3, k4, k5]), h)
+    k6 = rhs(t + h64, ysti)
+    ynew = y + ddm.mul_f32(ddm.dot_const(A[5], [k1, k2, k3, k4, k5, k6]), h)
+    k7 = rhs(t + h64, ynew)
+    ks = [k1, k2, k3, k4, k5, k6, k7]
+
+    # Error vector in dd (the E-weighted stage sum cancels from O(|k|) down
+    # to O(err) — f32 terms would leave a ~2^-24|hk| noise floor that stalls
+    # the controller at tight tolerances); the scalar |h| factor and the norm
+    # run in f32 off the hi word, exactly like controller_precision="float32"
+    # in methods/erk.py.
+    err_vec = ddm.dot_const(E, ks).hi
+    sk = (ra.atol + ra.rtol * jnp.maximum(jnp.abs(y.hi), jnp.abs(ynew.hi)))
+    r = err_vec / sk
+    err = jnp.abs(h) * jnp.sqrt(jnp.mean(r * r))
+
+    accepted = (err <= 1.0) & ~too_small
+
+    # --- Stiffness detection (f32; reference dopri5.rs:363-391) ---
+    do_stiff = accepted & (((naccpt + 1) % p.stiff_test == 0) | (ms.iasti > 0))
+    stnum = jnp.sum((k7.hi - k6.hi) ** 2)
+    stden = jnp.sum((ynew.hi - ysti.hi) ** 2)
+    hlamb = jnp.where(do_stiff & (stden > 0.0),
+                      jnp.abs(h) * jnp.sqrt(stnum / stden), ms.hlamb)
+    is_stiff = hlamb > p.stiff_threshold
+    iasti = jnp.where(do_stiff, jnp.where(is_stiff, ms.iasti + 1, ms.iasti),
+                      ms.iasti)
+    nonstiff = jnp.where(do_stiff,
+                         jnp.where(is_stiff, _i32(0), ms.nonstiff + 1),
+                         ms.nonstiff)
+    iasti = jnp.where(do_stiff & ~is_stiff & (nonstiff == 6), _i32(0), iasti)
+    stiff_fail = do_stiff & is_stiff & (iasti == 15)
+
+    advance = accepted & ~stiff_fail
+
+    # --- Dense output, f32 off the hi words (sampling/event localization
+    #     precision; the solution path itself stays dd) ---
+    if p.need_cont:
+        from .base import dotk
+        khi = [k.hi for k in ks]
+        ydiff = ynew.hi - y.hi
+        bspl = h * k1.hi - ydiff
+        cont = jnp.stack([y.hi, ydiff, bspl, -h * k7.hi + ydiff - bspl,
+                          h * dotk(D, khi)])
+    else:
+        cont = jnp.zeros((0,) + y.shape, jnp.float32)
+
+    # --- Controller (identical f32 math to methods/erk.py; all h updates
+    #     are plain f32 ops — no emulated divisions) ---
+    log_err = jnp.log(jnp.maximum(err, 1e-35))
+    fac11 = jnp.exp(expo1 * log_err)
+    fac = jnp.exp(expo1 * log_err - p.beta * ms.facold)
+    fac = jnp.maximum(facc2, jnp.minimum(facc1, fac / p.safety))
+    hmaxf = ra.hmax.astype(jnp.float32)
+    hnew_acc = h / fac
+    hnew_acc = jnp.where(jnp.abs(hnew_acc) > hmaxf, posneg * hmaxf, hnew_acc)
+    hnew_acc = jnp.where(ms.reject,
+                         posneg * jnp.minimum(jnp.abs(hnew_acc), jnp.abs(h)),
+                         hnew_acc)
+    hnew_rej = h / jnp.minimum(facc1, fac11 / p.safety)
+    h_next = jnp.where(accepted, hnew_acc, hnew_rej)
+
+    t_new = jnp.where(last, ra.tend, t + h64)
+    status = jnp.where(too_small, _i32(Status.STEP_SIZE_TOO_SMALL),
+                       jnp.where(stiff_fail, _i32(Status.PROBABLY_STIFF),
+                                 _i32(Status.RUNNING)))
+
+    ms_new = ERKState(
+        h=h_next,
+        k1=ddm.where(advance, k7, k1),
+        facold=jnp.where(accepted, jnp.maximum(log_err, math.log(1e-4)),
+                         ms.facold),
+        reject=~accepted,
+        iasti=iasti, nonstiff=nonstiff, hlamb=hlamb, posneg=posneg,
+    )
+    return StepProposal(
+        accepted=accepted, advance=advance, finished=advance & last,
+        status=status,
+        t_new=jnp.where(advance, t_new, t),
+        y_new=ddm.where(advance, ynew, y),
+        xold=t, h_used=h, cont=cont,
+        nfev_inc=_i32(6), njev_inc=_i32(0), nlu_inc=_i32(0),
+        count_step=~too_small,
+        count_reject=(~accepted) & (naccpt > 1) & ~too_small,
+        ms=ms_new,
+    )
+
+
+def dd_rk23_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
+                    p: ERKParams):
+    from .base import dotk
+    h, posneg = ms.h, ms.posneg  # h, posneg: f32 (see dd_erk_init)
+    too_small = 0.1 * jnp.abs(h) <= jnp.abs(t).astype(jnp.float32) * p.uround
+    dt_left = (ra.tend - t).astype(jnp.float32)
+    last = (h - dt_left) * posneg > 0.0
+    h = jnp.where(last, dt_left, h)
+    h64 = h.astype(t.dtype)
+
+    k1 = ms.k1
+    k2 = rhs(t + 0.5 * h64, y + ddm.mul_f32(k1, 0.5 * h))
+    k3 = rhs(t + 0.75 * h64, y + ddm.mul_f32(k2, 0.75 * h))
+    ynew = y + ddm.mul_f32(ddm.dot_const(tab.RK23_B, [k1, k2, k3]), h)
+    k4 = rhs(t + h64, ynew)
+    ks = [k1, k2, k3, k4]
+
+    err_vec = ddm.dot_const(tab.RK23_E, ks).hi
+    sk = ra.atol + ra.rtol * jnp.maximum(jnp.abs(ynew.hi), jnp.abs(y.hi))
+    r = err_vec / sk
+    err = jnp.abs(h) * jnp.sqrt(jnp.mean(r * r))
+
+    accepted = (err <= 1.0) & ~too_small
+    t_new = jnp.where(last, ra.tend, t + h64)
+    finished = accepted & (last | (t_new == ra.tend))
+
+    if p.need_cont:
+        khi = [k.hi for k in ks]
+        cont = jnp.stack([y.hi, k1.hi, dotk(tab.RK23_D2, khi),
+                          dotk(tab.RK23_D3, khi)])
+    else:
+        cont = jnp.zeros((0,) + y.shape, jnp.float32)
+
+    err_pow = jnp.exp(jnp.log(jnp.maximum(err, 1e-35)) * (-1.0 / 3.0))
+    factor = jnp.clip(p.safety * err_pow, p.scale_min, p.scale_max)
+    hmaxf = ra.hmax.astype(jnp.float32)
+    h_acc = h * factor
+    h_acc = jnp.where(jnp.abs(h_acc) > hmaxf, hmaxf * posneg, h_acc)
+    h_rej = h * jnp.clip(p.safety * err_pow, p.scale_min, 1.0)
+    h_next = jnp.where(accepted, h_acc, h_rej)
+
+    ms_new = ERKState(
+        h=h_next, k1=ddm.where(accepted, k4, k1),
+        facold=ms.facold, reject=~accepted,
+        iasti=ms.iasti, nonstiff=ms.nonstiff, hlamb=ms.hlamb, posneg=posneg,
+    )
+    return StepProposal(
+        accepted=accepted, advance=accepted, finished=finished,
+        status=jnp.where(too_small, _i32(Status.STEP_SIZE_TOO_SMALL),
+                         _i32(Status.RUNNING)),
+        t_new=jnp.where(accepted, t_new, t),
+        y_new=ddm.where(accepted, ynew, y),
+        xold=t, h_used=h, cont=cont,
+        nfev_inc=_i32(3), njev_inc=_i32(0), nlu_inc=_i32(0),
+        count_step=accepted, count_reject=(~accepted) & ~too_small,
+        ms=ms_new,
+    )
+
+
+def dd_dopri5_interp(cont, xold, h, ti):
+    theta = ((ti - xold) / h).astype(cont.dtype)
+    theta1 = 1.0 - theta
+    return cont[0] + theta * (
+        cont[1] + theta1 * (cont[2] + theta * (cont[3] + theta1 * cont[4])))
+
+
+def dd_rk23_interp(cont, xold, h, ti):
+    s = ((ti - xold) / h).astype(cont.dtype)
+    hy = jnp.asarray(h).astype(cont.dtype)
+    return cont[0] + hy * (cont[1] * s + cont[2] * s * s + cont[3] * s ** 3)
+
+
+def make_engine(method: str, need_cont: bool, **overrides):
+    method = method.upper()
+    if method in ("DOPRI5", "RK45"):
+        cfg = dict(DOPRI5_DEFAULTS)
+        attempt, interp, ncoeff = dd_dopri5_attempt, dd_dopri5_interp, 5
+        name = "DOPRI5"
+    elif method == "RK23":
+        cfg = dict(RK23_DEFAULTS)
+        attempt, interp, ncoeff = dd_rk23_attempt, dd_rk23_interp, 4
+        name = "RK23"
+    else:
+        raise ValueError(
+            f"dtype='dd' supports explicit methods DOPRI5/RK45 and RK23; "
+            f"got {method!r} (use dtype=float64 for the platform-emulation "
+            f"path, or newton_precision='mixed' for stiff ensembles)")
+    cfg.update(overrides)
+    cfg.setdefault("controller_precision", "float32")
+    p = ERKParams(method=name, need_cont=need_cont, **cfg)
+    eng = Engine(name=name, ncoeff=ncoeff if need_cont else 0,
+                 init=dd_erk_init, attempt=attempt, interp=interp)
+    return eng, p

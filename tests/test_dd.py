@@ -1,0 +1,180 @@
+"""The double-float precision tier (dtype="dd", core/ddmath.py).
+
+dd runs the state arithmetic in hand-rolled f32-pair (Dekker) arithmetic —
+the framework's own, faster equivalent of the TPU's f64 emulation (the
+reference library has native f64 and no counterpart; this tier exists so the
+flagship ensemble metric keeps f64-class accuracy at well above emulation
+speed).  These tests pin (a) the primitives' precision, (b) solver accuracy
+against native-f64 ground truth, and (c) the facade's guard rails.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ivp_tpu
+from ivp_tpu import ddmath as ddm
+from ivp_tpu.batch import build_ensemble_solver
+
+
+def vdp_dd(t, y):
+    return ddm.stack([y[1], (1.0 - y[0] * y[0]) * y[1] - y[0]])
+
+
+def vdp(t, y):
+    return jnp.array([y[1], (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+def test_dd_primitives_precision():
+    """A deep mul/add chain stays within ~1e-13 of native f64 (the dd unit
+    2^-48 ~ 3.6e-15, times chain-length accumulation)."""
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0.5, 1.5, 10000)
+    b = rng.uniform(-1.001, -0.999, 10000)
+
+    @jax.jit
+    def chain(x: ddm.DD, y: ddm.DD):
+        for _ in range(20):
+            x = x * y + y
+        return x
+
+    x = chain(ddm.from_f64(jnp.asarray(a)), ddm.from_f64(jnp.asarray(b)))
+    got = np.asarray(ddm.to_f64(x))
+    want = a.copy()
+    for _ in range(20):
+        want = want * b + b
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-300)
+    assert rel.max() < 2e-13
+
+
+def test_dd_div_sqrt():
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0.1, 10.0, 1000)
+    b = rng.uniform(0.1, 10.0, 1000)
+    q = np.asarray(ddm.to_f64(ddm.div(ddm.from_f64(jnp.asarray(a)),
+                                      ddm.from_f64(jnp.asarray(b)))))
+    assert np.max(np.abs(q - a / b) / np.abs(a / b)) < 1e-13
+    s = np.asarray(ddm.to_f64(ddm.sqrt(ddm.from_f64(jnp.asarray(a)))))
+    assert np.max(np.abs(s - np.sqrt(a)) / np.sqrt(a)) < 1e-13
+
+
+def test_dd_operators_and_pytree():
+    x = ddm.from_f64(jnp.asarray([1.5, 2.5]))
+    y = 2.0 * x - x / 2.0 + x * x  # operator coverage incl. scalar coercion
+    want = 2.0 * np.array([1.5, 2.5]) - np.array([1.5, 2.5]) / 2.0 \
+        + np.array([1.5, 2.5]) ** 2
+    np.testing.assert_allclose(np.asarray(ddm.to_f64(y)), want, rtol=1e-14)
+    # DD is a pytree: tree_map hits both words
+    doubled = jax.tree_util.tree_map(lambda a: 2 * a, x)
+    assert isinstance(doubled, ddm.DD)
+    # slicing slices the number, not the tuple fields
+    assert x[0].shape == ()
+
+
+# ---------------------------------------------------------------------------
+# Solver accuracy (vs native-f64 ground truth on CPU)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vdp_setup():
+    rng = np.random.default_rng(0)
+    y0 = np.array([2.0, 0.0]) + 0.05 * rng.standard_normal((8, 2))
+    sol64 = jax.jit(build_ensemble_solver(vdp, "RK45", n=2,
+                                          dtype=jnp.float64))
+    ref = np.asarray(sol64(y0, 0.0, 100.0, 1e-12, 1e-13).y)
+    return y0, sol64, ref
+
+
+def test_dd_matches_f64_accuracy(vdp_setup):
+    """dd-at-rtol is as accurate as f64-at-rtol (reference-parity tolerances;
+    the global error is discretization-dominated at these settings)."""
+    y0, sol64, ref = vdp_setup
+    sol_dd = jax.jit(build_ensemble_solver(vdp_dd, "RK45", n=2, dtype="dd"))
+    for rt, at in [(1e-6, 1e-8), (1e-8, 1e-10)]:
+        r_dd = sol_dd(y0, 0.0, 100.0, rt, at)
+        assert np.all(np.asarray(r_dd.status) == 0)
+        assert np.asarray(r_dd.y).dtype == np.float64
+        e_dd = np.max(np.abs(np.asarray(r_dd.y) - ref))
+        e_64 = np.max(np.abs(np.asarray(sol64(y0, 0.0, 100.0, rt, at).y)
+                             - ref))
+        # same error class: within 3x of the native-f64 run (both
+        # discretization-dominated), and absolutely small
+        assert e_dd < 3.0 * e_64 + 1e-9
+        # step counts track the f64 controller (identical formulas)
+        n_dd = float(np.mean(np.asarray(r_dd.nstep)))
+        n_64 = float(np.mean(np.asarray(
+            sol64(y0, 0.0, 100.0, rt, at).nstep)))
+        assert abs(n_dd - n_64) / n_64 < 0.05
+
+
+def test_dd_rk23(vdp_setup):
+    y0, sol64, ref = vdp_setup
+    sol_dd = jax.jit(build_ensemble_solver(vdp_dd, "RK23", n=2, dtype="dd"))
+    r = sol_dd(y0, 0.0, 20.0, 1e-6, 1e-8)
+    assert np.all(np.asarray(r.status) == 0)
+    ref20 = np.asarray(
+        jax.jit(build_ensemble_solver(vdp, "RK23", n=2, dtype=jnp.float64))(
+            y0, 0.0, 20.0, 1e-6, 1e-8).y)
+    assert np.max(np.abs(np.asarray(r.y) - ref20)) < 1e-3
+
+
+def test_dd_t_eval_and_backward():
+    y0 = np.tile([2.0, 0.0], (4, 1))
+    tg = np.linspace(0.0, 100.0, 11)
+    sol = jax.jit(build_ensemble_solver(vdp_dd, "RK45", n=2, dtype="dd",
+                                        t_eval=tg))
+    r = sol(y0, 0.0, 100.0, 1e-6, 1e-8)
+    assert np.all(np.asarray(r.n_samples) == 11)
+    # the f32-sampled trajectory agrees with an f64 run at the grid
+    sol64 = jax.jit(build_ensemble_solver(vdp, "RK45", n=2,
+                                          dtype=jnp.float64, t_eval=tg))
+    want = np.asarray(sol64(y0, 0.0, 100.0, 1e-6, 1e-8).y_samples)
+    np.testing.assert_allclose(np.asarray(r.y_samples), want,
+                               rtol=2e-4, atol=2e-4)
+    # backward: integrate forward then back, terminal state must land at t0
+    solb = jax.jit(build_ensemble_solver(vdp_dd, "RK45", n=2, dtype="dd"))
+    rb = solb(y0, 50.0, 0.0, 1e-6, 1e-8)
+    assert np.all(np.asarray(rb.status) == 0)
+    assert np.allclose(np.asarray(rb.t), 0.0)
+
+
+def test_dd_per_lane_tolerances():
+    y0 = np.tile([2.0, 0.0], (4, 1))
+    sol = jax.jit(build_ensemble_solver(vdp_dd, "RK45", n=2, dtype="dd"))
+    rtol = np.array([1e-4, 1e-5, 1e-6, 1e-7])
+    r = sol(y0, 0.0, 50.0, rtol[:, None], 1e-8)
+    n = np.asarray(r.nstep)
+    assert np.all(np.asarray(r.status) == 0)
+    assert n[0] < n[1] < n[2] < n[3]  # tighter lanes take more steps
+
+
+def test_dd_long_horizon_time_accumulation():
+    """t accumulates in f64: thousands of steps land exactly on tend (the
+    pure-f32 path loses this once h is below the f32 ulp of t)."""
+    sol = jax.jit(build_ensemble_solver(vdp_dd, "RK45", n=2, dtype="dd"))
+    r = sol(np.tile([2.0, 0.0], (2, 1)), 0.0, 1000.0, 1e-8, 1e-10)
+    assert np.all(np.asarray(r.status) == 0)
+    assert np.all(np.asarray(r.t) == 1000.0)
+    assert float(np.mean(np.asarray(r.nstep))) > 20000
+
+
+# ---------------------------------------------------------------------------
+# Facade guard rails
+# ---------------------------------------------------------------------------
+
+def test_dd_guard_rails():
+    with pytest.raises(ValueError, match="dd"):
+        ev = lambda t, y: y[0]
+        ev.terminal = True
+        build_ensemble_solver(vdp_dd, "RK45", n=2, dtype="dd", events=[ev])
+    with pytest.raises(ValueError, match="explicit"):
+        build_ensemble_solver(vdp_dd, "Radau", n=2, dtype="dd")
+
+    bad = build_ensemble_solver(vdp, "RK45", n=2, dtype="dd")  # rhs not DD
+    with pytest.raises(TypeError, match="DD"):
+        bad(np.tile([2.0, 0.0], (2, 1)), 0.0, 1.0, 1e-6, 1e-8)
