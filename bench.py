@@ -37,11 +37,18 @@ def vdp(t, y):
     return jnp.array([y[1], (1.0 - y[0] ** 2) * y[1] - y[0]])
 
 
+def vdp_dd(t, y):
+    from ivp_tpu import ddmath as ddm
+    return ddm.stack([y[1], (1.0 - y[0] * y[0]) * y[1] - y[0]])
+
+
 def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
-    solver = jax.jit(build_ensemble_solver(vdp, "RK45", n=2, dtype=dtype))
+    rhs = vdp_dd if (isinstance(dtype, str) and dtype == "dd") else vdp
+    solver = jax.jit(build_ensemble_solver(rhs, "RK45", n=2, dtype=dtype))
     rng = np.random.default_rng(0)
+    carrier = jnp.float64 if rhs is vdp_dd else dtype
     y0s = [jnp.asarray(np.array([2.0, 0.0])
-                       + 0.05 * rng.standard_normal((B, 2)), dtype)
+                       + 0.05 * rng.standard_normal((B, 2)), carrier)
            for _ in range(n_runs + 1)]
 
     def sync(res):
@@ -181,6 +188,12 @@ def main():
     B = int(os.environ.get("IVP_TPU_BENCH_B", 262144))
     f64 = _measure_with_retry(jnp.float64, B)
     f32 = _measure_with_retry(jnp.float32, B)
+    try:
+        # The framework's own double-float tier (dtype="dd", core/ddmath.py):
+        # f64-class state precision at ~1.7x the platform-emulation speed.
+        dd = _measure_with_retry("dd", B, attempts=2)
+    except Exception as e:
+        dd = {"error": str(e)[:200]}
     def _stiff(**kw):
         try:  # secondary metrics must never break the report
             return measure_stiff(**kw)
@@ -211,6 +224,7 @@ def main():
             "batch": B,
             "f64": f64,
             "f32": f32,
+            "dd": dd,
             "stiff_radau_f64": stiff,
             "stiff_bdf_f64": stiff_bdf,
             "stiff_radau_f32": stiff_f32,

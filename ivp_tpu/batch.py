@@ -140,16 +140,17 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     platform's f64 emulation on TPU.  Explicit methods only; the RHS
     receives and must return a :class:`~ivp_tpu.core.ddmath.DD`
     (write it with DD operators / ``ddmath.stack``).  Final states are
-    returned as f64.
+    returned as f64.  Event and restart functions see plain f32 arrays
+    (the state's hi words / the f32-grade dense interpolant) while event
+    *times* keep f64 resolution; an in-device restart re-enters the dd
+    state path from the interp-grade event state (zero low word), so
+    precision across a restart is f32-grade at the restart point and dd
+    thereafter.
     """
     use_dd = _is_dd(dtype)
     if use_dd:
         dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
         tdt = jnp.dtype(jnp.float64)     # exact time axis
-        if events or max_restarts:
-            raise ValueError(
-                "dtype='dd' does not support events/restarts yet — use "
-                "dtype=float32 with time_dtype=float64, or dtype=float64")
     else:
         dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
         tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
@@ -212,8 +213,9 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         restart_fns = [getattr(e, "restart", None) for e in ev_list]
         if use_dd:
             from .methods import dd_erk
-            engine, p = dd_erk.make_engine(method, need_cont=sample_cap > 0,
-                                           **(solver_options or {}))
+            engine, p = dd_erk.make_engine(
+                method, need_cont=bool(n_ev) or sample_cap > 0,
+                **(solver_options or {}))
         else:
             engine, p = get_engine(method,
                                    need_cont=bool(n_ev) or sample_cap > 0,

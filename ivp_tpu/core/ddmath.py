@@ -27,6 +27,19 @@ and the time axis stays in platform f64 (exact t accumulation).
 
 ``DD`` is a NamedTuple pytree, so it vmaps/jits/checkpoints like any array.
 
+Two compiler hazards are handled here (both verified empirically):
+
+* XLA's algebraic simplifier rewrites ``(c + x) - c -> x`` when one operand
+  is a trace-time constant — float-invalid, and it zeroes TwoSum's error
+  term.  The ``optimization_barrier`` calls below block it; without them
+  DOP853's error sum degrades to f32 and reject-storms at rtol <= 1e-9.
+* On the **CPU** backend only, LLVM contracts mul/add chains into FMAs
+  *inside fused kernels* (below HLO — barrier-invariant), which perturbs
+  Dekker splits at the ~2^-31 level per step.  On TPU, jitted and eager
+  execution agree bit-for-bit (verified), so the production path has full
+  ~2^-48 semantics; CPU-run tests see a slightly elevated dd noise floor
+  (~1e-7 after 1e4 steps) and tolerance assertions account for it.
+
 No counterpart exists in the reference (reference src/ is CPU Rust with
 native f64); this is TPU-first design per the hardware guide.
 """
@@ -36,30 +49,46 @@ from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 _SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker split constant for f32
 
 
 def _two_sum(a, b):
-    """Knuth TwoSum: s + e == a + b exactly (6 flops, branch-free)."""
-    s = a + b
-    v = s - a
+    """Knuth TwoSum: s + e == a + b exactly (6 flops, branch-free).
+
+    The barrier pins the *rounded* sum s.  Without it, when one operand is a
+    trace-time constant (28.0 in a user RHS, a Butcher weight, ...), XLA's
+    algebraic simplifier rewrites (c + x) - c -> x — valid for reals, fatal
+    here: the error term evaluates to exactly 0 and the arithmetic silently
+    degrades to f32 (measured on the DOP853 error sum: noise 2^-48 -> 2^-24,
+    reject storms at rtol <= 1e-9).  optimization_barrier costs nothing at
+    runtime — it only stops algebraic rewrites across it.
+    """
+    s = lax.optimization_barrier(a + b)
+    v = lax.optimization_barrier(s - a)
     e = (a - (s - v)) + (b - v)
     return s, e
 
 
 def _quick_two_sum(a, b):
     """Dekker FastTwoSum (requires |a| >= |b| for exactness; used for
-    renormalization where the invariant holds to rounding)."""
-    s = a + b
-    e = b - (s - a)
+    renormalization where the invariant holds to rounding).  Barrier: see
+    :func:`_two_sum`."""
+    s = lax.optimization_barrier(a + b)
+    e = b - lax.optimization_barrier(s - a)
     return s, e
 
 
 def _split(a):
-    t = _SPLIT * a
-    hi = t - (t - a)
+    # The barrier pins the *rounded* product t: the backend otherwise
+    # contracts (t - a) into fma(SPLIT, a, -a) — exact, which is precisely
+    # what Dekker's split must NOT be (measured: the low words degrade from
+    # 2^-48 to ~2^-35 and DOP853's deep error-sum cancellation collapses).
+    t = lax.optimization_barrier(_SPLIT * a)
+    w = lax.optimization_barrier(t - a)
+    hi = t - w
     return hi, a - hi
 
 
@@ -253,13 +282,18 @@ def zeros(shape, like: DD | None = None) -> DD:
 def dot_const(coeffs, ks) -> DD:
     """Sum_i c_i * k_i with dd accuracy: Python-float coefficients are split
     to dd constants at trace time; exact zeros are skipped (Butcher tableaus
-    are sparse).  This is the dd counterpart of methods/base.py::dotk."""
+    are sparse).  ``coeffs`` is {stage_index: weight} or a dense sequence —
+    the dd counterpart of methods/base.py::dotk."""
+    if isinstance(coeffs, dict):
+        items = coeffs.items()
+    else:
+        items = ((i, c) for i, c in enumerate(coeffs))
     acc = None
-    for c, k in zip(coeffs, ks):
+    for i, c in items:
         c = float(c)
         if c == 0.0:
             continue
-        term = mul(k, const(c))
+        term = mul(ks[i], const(c))
         acc = term if acc is None else add(acc, term)
     if acc is None:
         return zeros(ks[0].shape)
@@ -267,13 +301,18 @@ def dot_const(coeffs, ks) -> DD:
 
 
 def dot_hi_f32(coeffs, ks) -> Any:
-    """Sum_i c_i * k_i.hi in plain f32 — for error vectors, whose norm chain
-    runs in f32 anyway (controller_precision design, methods/erk.py)."""
+    """Sum_i c_i * k_i.hi in plain f32 — for classifier-grade sums whose
+    consumers run in f32 anyway (controller_precision design,
+    methods/erk.py)."""
+    if isinstance(coeffs, dict):
+        items = coeffs.items()
+    else:
+        items = ((i, c) for i, c in enumerate(coeffs))
     acc = None
-    for c, k in zip(coeffs, ks):
+    for i, c in items:
         c = np.float32(c)
         if c == 0.0:
             continue
-        term = c * k.hi
+        term = c * ks[i].hi
         acc = term if acc is None else acc + term
     return acc

@@ -90,6 +90,11 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
     restart_fns = list(restart_fns or [])
     has_restarts = (has_events and cfg.max_restarts > 0
                     and any(f is not None for f in restart_fns))
+    # State-representation adapters (base.py Engine.lower/lift): events,
+    # restart maps and event buffers operate on plain arrays even when the
+    # engine carries a richer state (the dd tier's DD pairs).
+    lower = engine.lower or (lambda y: y)
+    lift = engine.lift or (lambda a: a)
 
     def init_carry(t0, y0, first_step, ra: RunArgs) -> Carry:
         dtype = y0.dtype
@@ -100,7 +105,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
         n = y0.shape[-1]
         t0 = jnp.asarray(t0, tdt)
         ms, nfev0 = engine.init(rhs, t0, y0, first_step, ra, p)
-        ev = (init_ev_state(events_fn, t0, y0, spec, dtype, tdt)
+        ev = (init_ev_state(events_fn, t0, lower(y0), spec, dtype, tdt)
               if has_events else
               EvState(g_prev=jnp.zeros((0,), dtype), hits=jnp.zeros((0,), jnp.int32),
                       n_rec=jnp.zeros((0,), jnp.int32), t_buf=jnp.zeros((0, 1), tdt),
@@ -131,12 +136,13 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
         if has_events:
             out = process_events(
                 events_fn, engine.interp, res.cont, res.xold, res.h_used,
-                c.t, c.y, res.t_new, res.y_new, c.ms.posneg, c.ev, spec,
+                c.t, lower(c.y), res.t_new, lower(res.y_new), c.ms.posneg,
+                c.ev, spec,
             )
             ev_new = tree_where(adv, out.state, c.ev)
             terminal = adv & out.terminal
             t_rec = jnp.where(terminal, out.t_term, res.t_new)
-            y_rec = jnp.where(terminal, out.y_term, res.y_new)
+            y_rec = tree_where(terminal, lift(out.y_term), res.y_new)
         else:
             ev_new = c.ev
             terminal = jnp.zeros((), bool)
@@ -169,8 +175,8 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             fs_re = (jnp.abs(res.h_used) if engine.name == "RK4" else None)
 
             def _restart_init():
-                ms_re, nfev_re = engine.init(rhs, out.t_term, y_re, fs_re,
-                                             ra, p)
+                ms_re, nfev_re = engine.init(rhs, out.t_term, lift(y_re),
+                                             fs_re, ra, p)
                 return ms_re, _i32(nfev_re), events_fn(out.t_term, y_re)
 
             def _no_restart():
@@ -193,7 +199,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             # flagged this as its final (tend-landing) step.
             finished = finished & ~do_restart
             t_rec = jnp.where(do_restart, out.t_term, t_rec)
-            y_rec = jnp.where(do_restart, y_re, y_rec)
+            y_rec = tree_where(do_restart, lift(y_re), y_rec)
             n_restarts = n_restarts + do_restart.astype(jnp.int32)
             res = res._replace(nfev_inc=res.nfev_inc + nfev_re,
                                njev_inc=res.njev_inc + njev_re)
@@ -202,7 +208,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
         if cap:
             idx = jnp.where(adv, c.n_rec, cap)  # out-of-bounds => dropped
             rec_t = c.rec_t.at[idx].set(t_rec, mode="drop")
-            rec_y = c.rec_y.at[idx].set(y_rec, mode="drop")
+            rec_y = c.rec_y.at[idx].set(lower(y_rec), mode="drop")
             rec_xold = c.rec_xold.at[idx].set(res.xold, mode="drop")
             rec_h = c.rec_h.at[idx].set(res.h_used, mode="drop")
             rec_cont = (c.rec_cont.at[idx].set(res.cont, mode="drop")

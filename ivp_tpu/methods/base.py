@@ -59,6 +59,14 @@ class Engine(NamedTuple):
     # Jacobian up front; the driver adds this to njev on in-device event
     # restarts, which re-run ``init`` from the event point).
     init_njev: int = 0
+    # State-representation adapters for engines whose carried state is not a
+    # plain array (the dd tier carries a DD pair, methods/dd_erk.py).  The
+    # driver lowers the state to a plain array at the event/interp boundary
+    # (event functions, restart maps and event buffers see plain arrays) and
+    # lifts interp-grade arrays back when they re-enter the state path
+    # (event-restart re-init).  None = identity (plain-array engines).
+    lower: Any = None
+    lift: Any = None
 
 
 def dotk(coeffs, ks):

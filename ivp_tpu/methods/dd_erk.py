@@ -96,24 +96,30 @@ def dd_dopri5_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
 
     too_small = 0.1 * jnp.abs(h) <= jnp.abs(t).astype(jnp.float32) * p.uround
     # Landing test in f32 on the *remaining interval* (tend - t is the only
-    # place t-resolution matters; its f64 subtraction is one of exactly two
-    # emulated-f64 ops per attempt, the other being t + h below).
-    dt_left = (ra.tend - t).astype(jnp.float32)
+    # place t-resolution matters; its f64 subtraction is one of the few
+    # emulated-f64 ops per attempt).
+    dtl64 = ra.tend - t
+    dt_left = dtl64.astype(jnp.float32)
     last = (1.01 * h - dt_left) * posneg > 0.0
     h = jnp.where(last, dt_left, h)
     h64 = h.astype(t.dtype)  # stage times (DCE'd for autonomous systems)
+    # The landing step must cover tend - t *exactly* in the state arithmetic
+    # (t_new is forced to tend below): carry the f32-truncated remainder as
+    # the step's dd low word — without it every solve ends with a silent
+    # |y'|*2^-24*h state error (measured 2e-9 on VdP, 100x the dd floor).
+    h_lo = jnp.where(last, (dtl64 - h64).astype(jnp.float32),
+                     jnp.zeros((), jnp.float32))
+    hdd = DD(h, h_lo)
 
     k1 = ms.k1
-    k2 = rhs(t + C[1] * h64, y + ddm.mul_f32(ddm.dot_const(A[0], [k1]), h))
-    k3 = rhs(t + C[2] * h64,
-             y + ddm.mul_f32(ddm.dot_const(A[1], [k1, k2]), h))
-    k4 = rhs(t + C[3] * h64,
-             y + ddm.mul_f32(ddm.dot_const(A[2], [k1, k2, k3]), h))
+    k2 = rhs(t + C[1] * h64, y + ddm.dot_const(A[0], [k1]) * hdd)
+    k3 = rhs(t + C[2] * h64, y + ddm.dot_const(A[1], [k1, k2]) * hdd)
+    k4 = rhs(t + C[3] * h64, y + ddm.dot_const(A[2], [k1, k2, k3]) * hdd)
     k5 = rhs(t + C[4] * h64,
-             y + ddm.mul_f32(ddm.dot_const(A[3], [k1, k2, k3, k4]), h))
-    ysti = y + ddm.mul_f32(ddm.dot_const(A[4], [k1, k2, k3, k4, k5]), h)
+             y + ddm.dot_const(A[3], [k1, k2, k3, k4]) * hdd)
+    ysti = y + ddm.dot_const(A[4], [k1, k2, k3, k4, k5]) * hdd
     k6 = rhs(t + h64, ysti)
-    ynew = y + ddm.mul_f32(ddm.dot_const(A[5], [k1, k2, k3, k4, k5, k6]), h)
+    ynew = y + ddm.dot_const(A[5], [k1, k2, k3, k4, k5, k6]) * hdd
     k7 = rhs(t + h64, ynew)
     ks = [k1, k2, k3, k4, k5, k6, k7]
 
@@ -199,20 +205,174 @@ def dd_dopri5_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     )
 
 
+def dd_dop853_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
+                      p: ERKParams):
+    from jax import lax
+    from .base import dotk
+    C = tab.DOP853_C
+    h, posneg = ms.h, ms.posneg  # h, posneg: f32 (see dd_erk_init)
+    facc1 = 1.0 / p.scale_min
+    facc2 = 1.0 / p.scale_max
+    expo1 = 1.0 / 8.0 - p.beta * 0.2
+    n = y.shape[-1]
+
+    too_small = 0.1 * jnp.abs(h) <= jnp.abs(t).astype(jnp.float32) * p.uround
+    dtl64 = ra.tend - t
+    dt_left = dtl64.astype(jnp.float32)
+    last = (1.01 * h - dt_left) * posneg > 0.0
+    h = jnp.where(last, dt_left, h)
+    h64 = h.astype(t.dtype)
+    # Exact landing step (see dd_dopri5_attempt).
+    h_lo = jnp.where(last, (dtl64 - h64).astype(jnp.float32),
+                     jnp.zeros((), jnp.float32))
+    hdd = DD(h, h_lo)
+
+    ks = [ms.k1]
+    for i, row in enumerate(tab.DOP853_A):
+        ks.append(rhs(t + C[i + 1] * h64,
+                      y + ddm.dot_const(row, ks) * hdd))
+    y12 = y + ddm.dot_const(tab.DOP853_A[-1], ks[:-1]) * hdd
+
+    kb = ddm.dot_const(tab.DOP853_B, ks)
+    ynew = y + kb * hdd
+
+    # Dual 8(5,3) error norm: both error sums cancel from O(|k|) to O(err),
+    # so the dots run in dd; the norms run in f32 off the hi words
+    # (reference dop853.rs:404-445).
+    sk = ra.atol + ra.rtol * jnp.maximum(jnp.abs(y.hi), jnp.abs(ynew.hi))
+    bh1, bh2, bh3 = tab.DOP853_BH
+    err2_vec = (kb - ks[0] * bh1 - ks[8] * bh2 - ks[11] * bh3).hi
+    err5_vec = ddm.dot_const(tab.DOP853_ER, ks).hi
+    err2 = jnp.sum((err2_vec / sk) ** 2)
+    err5 = jnp.sum((err5_vec / sk) ** 2)
+    deno = err5 + 0.01 * err2
+    deno = jnp.where(deno <= 0.0, 1.0, deno)
+    err = jnp.abs(h) * err5 * jnp.sqrt(1.0 / (n * deno))
+
+    accepted = (err <= 1.0) & ~too_small
+
+    # Accept-gated FSAL derivative + 3 extra dense stages (dop853.rs:521-560;
+    # under vmap the cond lowers to both-branches select, same as the f64
+    # engine).
+    def _post_accept():
+        f_new = rhs(t + h64, ynew)
+        if p.need_cont:
+            k_ext = ks + [f_new]
+            k14 = rhs(t + tab.DOP853_C14 * h64,
+                      y + ddm.mul_f32(ddm.dot_const(tab.DOP853_A14, k_ext), h))
+            k15 = rhs(t + tab.DOP853_C15 * h64,
+                      y + ddm.mul_f32(
+                          ddm.dot_const(tab.DOP853_A15, k_ext + [k14]), h))
+            k16 = rhs(t + tab.DOP853_C16 * h64,
+                      y + ddm.mul_f32(
+                          ddm.dot_const(tab.DOP853_A16, k_ext + [k14, k15]),
+                          h))
+            return f_new, k14, k15, k16
+        z = ddm.zeros(y.shape)
+        return f_new, z, z, z
+
+    def _post_reject():
+        z = ddm.zeros(y.shape)
+        return z, z, z, z
+
+    f_new, k14, k15, k16 = lax.cond(accepted, _post_accept, _post_reject)
+    nfev = _i32(11) + jnp.where(accepted, 4 if p.need_cont else 1,
+                                0).astype(jnp.int32)
+
+    # --- Stiffness detection (f32; reference dop853.rs:447-472) ---
+    do_stiff = accepted & (((naccpt + 1) % p.stiff_test == 0) | (ms.iasti > 0))
+    stnum = jnp.sum((f_new.hi - ks[11].hi) ** 2)
+    stden = jnp.sum((ynew.hi - y12.hi) ** 2)
+    hlamb = jnp.where(do_stiff & (stden > 0.0),
+                      jnp.abs(h) * jnp.sqrt(stnum / stden), ms.hlamb)
+    is_stiff = hlamb > p.stiff_threshold
+    iasti = jnp.where(do_stiff, jnp.where(is_stiff, ms.iasti + 1, ms.iasti),
+                      ms.iasti)
+    nonstiff = jnp.where(do_stiff,
+                         jnp.where(is_stiff, _i32(0), ms.nonstiff + 1),
+                         ms.nonstiff)
+    iasti = jnp.where(do_stiff & ~is_stiff & (nonstiff == 6), _i32(0), iasti)
+    stiff_fail = do_stiff & is_stiff & (iasti == 15)
+    advance = accepted & ~stiff_fail
+
+    # --- Dense output: 8 f32 coefficients off the hi words ---
+    if p.need_cont:
+        k_all_hi = [k.hi for k in ks] + [f_new.hi, k14.hi, k15.hi, k16.hi]
+        ydiff = ynew.hi - y.hi
+        bspl = h * ks[0].hi - ydiff
+        rows = [y.hi, ydiff, bspl, ydiff - h * f_new.hi - bspl]
+        for r in range(4, 8):
+            rows.append(h * dotk(tab.DOP853_D[r], k_all_hi))
+        cont = jnp.stack(rows)
+    else:
+        cont = jnp.zeros((0,) + y.shape, jnp.float32)
+
+    # --- Controller (f32; default beta=0 -> pure sqrt chain) ---
+    if p.beta == 0.0 and expo1 == 0.125:
+        fac11 = jnp.sqrt(jnp.sqrt(jnp.sqrt(err)))
+        fac = fac11
+        facold_new = ms.facold
+    else:
+        log_err = jnp.log(jnp.maximum(err, 1e-35))
+        fac11 = jnp.exp(expo1 * log_err)
+        fac = jnp.exp(expo1 * log_err - p.beta * ms.facold)
+        facold_new = jnp.where(accepted,
+                               jnp.maximum(log_err, math.log(1e-4)),
+                               ms.facold)
+    fac = jnp.maximum(facc2, jnp.minimum(facc1, fac / p.safety))
+    hmaxf = ra.hmax.astype(jnp.float32)
+    hnew_acc = h / fac
+    hnew_acc = jnp.where(jnp.abs(hnew_acc) > hmaxf, posneg * hmaxf, hnew_acc)
+    hnew_acc = jnp.where(ms.reject,
+                         posneg * jnp.minimum(jnp.abs(hnew_acc), jnp.abs(h)),
+                         hnew_acc)
+    hnew_rej = h / jnp.minimum(facc1, fac11 / p.safety)
+    h_next = jnp.where(accepted, hnew_acc, hnew_rej)
+
+    t_new = jnp.where(last, ra.tend, t + h64)
+    status = jnp.where(too_small, _i32(Status.STEP_SIZE_TOO_SMALL),
+                       jnp.where(stiff_fail, _i32(Status.PROBABLY_STIFF),
+                                 _i32(Status.RUNNING)))
+
+    ms_new = ERKState(
+        h=h_next,
+        k1=ddm.where(advance, f_new, ms.k1),
+        facold=facold_new,
+        reject=~accepted,
+        iasti=iasti, nonstiff=nonstiff, hlamb=hlamb, posneg=posneg,
+    )
+    return StepProposal(
+        accepted=accepted, advance=advance, finished=advance & last,
+        status=status,
+        t_new=jnp.where(advance, t_new, t),
+        y_new=ddm.where(advance, ynew, y),
+        xold=t, h_used=h, cont=cont,
+        nfev_inc=nfev, njev_inc=_i32(0), nlu_inc=_i32(0),
+        count_step=~too_small,
+        count_reject=(~accepted) & (naccpt > 1) & ~too_small,
+        ms=ms_new,
+    )
+
+
 def dd_rk23_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
                     p: ERKParams):
     from .base import dotk
     h, posneg = ms.h, ms.posneg  # h, posneg: f32 (see dd_erk_init)
     too_small = 0.1 * jnp.abs(h) <= jnp.abs(t).astype(jnp.float32) * p.uround
-    dt_left = (ra.tend - t).astype(jnp.float32)
+    dtl64 = ra.tend - t
+    dt_left = dtl64.astype(jnp.float32)
     last = (h - dt_left) * posneg > 0.0
     h = jnp.where(last, dt_left, h)
     h64 = h.astype(t.dtype)
+    # Exact landing step (see dd_dopri5_attempt).
+    h_lo = jnp.where(last, (dtl64 - h64).astype(jnp.float32),
+                     jnp.zeros((), jnp.float32))
+    hdd = DD(h, h_lo)
 
     k1 = ms.k1
-    k2 = rhs(t + 0.5 * h64, y + ddm.mul_f32(k1, 0.5 * h))
-    k3 = rhs(t + 0.75 * h64, y + ddm.mul_f32(k2, 0.75 * h))
-    ynew = y + ddm.mul_f32(ddm.dot_const(tab.RK23_B, [k1, k2, k3]), h)
+    k2 = rhs(t + 0.5 * h64, y + (k1 * 0.5) * hdd)
+    k3 = rhs(t + 0.75 * h64, y + (k2 * 0.75) * hdd)
+    ynew = y + ddm.dot_const(tab.RK23_B, [k1, k2, k3]) * hdd
     k4 = rhs(t + h64, ynew)
     ks = [k1, k2, k3, k4]
 
@@ -271,24 +431,44 @@ def dd_rk23_interp(cont, xold, h, ti):
     return cont[0] + hy * (cont[1] * s + cont[2] * s * s + cont[3] * s ** 3)
 
 
+def dd_dop853_interp(cont, xold, h, ti):
+    s = ((ti - xold) / h).astype(cont.dtype)
+    s1 = 1.0 - s
+    conpar = cont[4] + s * (cont[5] + s1 * (cont[6] + s * cont[7]))
+    return cont[0] + s * (cont[1] + s1 * (cont[2] + s * (cont[3]
+                                                         + s1 * conpar)))
+
+
 def make_engine(method: str, need_cont: bool, **overrides):
     method = method.upper()
     if method in ("DOPRI5", "RK45"):
         cfg = dict(DOPRI5_DEFAULTS)
         attempt, interp, ncoeff = dd_dopri5_attempt, dd_dopri5_interp, 5
         name = "DOPRI5"
+    elif method == "DOP853":
+        from .erk import DOP853_DEFAULTS
+        cfg = dict(DOP853_DEFAULTS)
+        attempt, interp, ncoeff = dd_dop853_attempt, dd_dop853_interp, 8
+        name = "DOP853"
     elif method == "RK23":
         cfg = dict(RK23_DEFAULTS)
         attempt, interp, ncoeff = dd_rk23_attempt, dd_rk23_interp, 4
         name = "RK23"
     else:
         raise ValueError(
-            f"dtype='dd' supports explicit methods DOPRI5/RK45 and RK23; "
-            f"got {method!r} (use dtype=float64 for the platform-emulation "
-            f"path, or newton_precision='mixed' for stiff ensembles)")
+            f"dtype='dd' supports explicit methods DOPRI5/RK45, DOP853 and "
+            f"RK23; got {method!r} (use dtype=float64 for the "
+            f"platform-emulation path, or newton_precision='mixed' for "
+            f"stiff ensembles)")
     cfg.update(overrides)
     cfg.setdefault("controller_precision", "float32")
     p = ERKParams(method=name, need_cont=need_cont, **cfg)
     eng = Engine(name=name, ncoeff=ncoeff if need_cont else 0,
-                 init=dd_erk_init, attempt=attempt, interp=interp)
+                 init=dd_erk_init, attempt=attempt, interp=interp,
+                 # Event/interp boundary adapters (base.py): event functions,
+                 # restart maps and event buffers see the f32 hi words (the
+                 # dense interpolant is f32-grade anyway); a restart re-enters
+                 # the dd state path with a zero low word.
+                 lower=lambda y: y.hi,
+                 lift=lambda a: DD(a, jnp.zeros_like(a)))
     return eng, p

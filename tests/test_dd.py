@@ -112,6 +112,51 @@ def test_dd_matches_f64_accuracy(vdp_setup):
         assert abs(n_dd - n_64) / n_64 < 0.05
 
 
+def test_dd_dop853(vdp_setup):
+    """DOP853 in dd: same error class and step counts as the native-f64
+    engine (dual 8(5,3) error norm needs the dd state words — in plain f32
+    the deep cancellation in the error sums reject-storms below rtol~1e-6).
+
+    On TPU the dd run matches f64 to 4 digits with identical step counts
+    (measured: e_dd == e_64 at rtol 1e-6/1e-8/1e-9).  On the CPU backend the
+    step counts still match exactly but the final state carries an ~3e-7
+    noise floor after ~1000 VdP steps (LLVM FMA contraction inside fused
+    kernels perturbs the Dekker splits — core/ddmath.py docstring); the
+    error assertion allows for it."""
+    y0, _, _ = vdp_setup
+    sol64 = jax.jit(build_ensemble_solver(vdp, "DOP853", n=2,
+                                          dtype=jnp.float64))
+    ref = np.asarray(sol64(y0, 0.0, 100.0, 1e-12, 1e-13).y)
+    sol_dd = jax.jit(build_ensemble_solver(vdp_dd, "DOP853", n=2,
+                                           dtype="dd"))
+    for rt, at in [(1e-6, 1e-8), (1e-9, 1e-11)]:
+        r_dd = sol_dd(y0, 0.0, 100.0, rt, at)
+        assert np.all(np.asarray(r_dd.status) == 0)
+        e_dd = np.max(np.abs(np.asarray(r_dd.y) - ref))
+        r64 = sol64(y0, 0.0, 100.0, rt, at)
+        e_64 = np.max(np.abs(np.asarray(r64.y) - ref))
+        assert e_dd < 3.0 * e_64 + 1e-6
+        n_dd = float(np.mean(np.asarray(r_dd.nstep)))
+        n_64 = float(np.mean(np.asarray(r64.nstep)))
+        assert abs(n_dd - n_64) / n_64 < 0.05
+
+
+def test_dd_dop853_t_eval():
+    """DOP853 dd dense sampling: the 8-coefficient interpolant (f32, off the
+    hi words) agrees with the f64 engine's samples to f32-grade accuracy."""
+    y0 = np.tile([2.0, 0.0], (4, 1))
+    tg = np.linspace(0.0, 40.0, 17)
+    sol = jax.jit(build_ensemble_solver(vdp_dd, "DOP853", n=2, dtype="dd",
+                                        t_eval=tg))
+    r = sol(y0, 0.0, 40.0, 1e-8, 1e-10)
+    assert np.all(np.asarray(r.n_samples) == 17)
+    sol64 = jax.jit(build_ensemble_solver(vdp, "DOP853", n=2,
+                                          dtype=jnp.float64, t_eval=tg))
+    want = np.asarray(sol64(y0, 0.0, 40.0, 1e-8, 1e-10).y_samples)
+    np.testing.assert_allclose(np.asarray(r.y_samples), want,
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_dd_rk23(vdp_setup):
     y0, sol64, ref = vdp_setup
     sol_dd = jax.jit(build_ensemble_solver(vdp_dd, "RK23", n=2, dtype="dd"))
@@ -164,14 +209,77 @@ def test_dd_long_horizon_time_accumulation():
 
 
 # ---------------------------------------------------------------------------
+# Events and in-device restarts
+# ---------------------------------------------------------------------------
+
+def test_dd_events_and_restarts():
+    """Bouncing-ball ensemble in dd: event/restart functions see plain f32
+    arrays (the hi words / the f32-grade interpolant, Engine.lower/lift in
+    methods/base.py) while event times keep f64 resolution.  Bounce times
+    must match the analytic chain to interp precision (~1e-5 here: y is
+    f32-grade at the crossing with |dy/dt| ~ 10)."""
+    from ivp_tpu.types import Status
+
+    g, cor, B = 9.81, 0.8, 8
+
+    def ball(t, y):
+        return ddm.stack([y[1], -g])
+
+    def ground(t, y):       # y: plain f32 (lowered view)
+        return y[0]
+
+    ground.terminal = True
+    ground.direction = -1
+    ground.restart = lambda t, y: jnp.array([0.0, -cor * y[1]])
+
+    heights = np.linspace(5.0, 20.0, B)
+    y0 = np.stack([heights, np.zeros(B)], axis=1)
+    solver = jax.jit(build_ensemble_solver(ball, "RK45", n=2, dtype="dd",
+                                           events=[ground],
+                                           event_capacity=16, max_restarts=6))
+    res = solver(y0, 0.0, 12.0, 1e-9, 1e-9)
+
+    t1 = np.sqrt(2 * heights / g)
+    v0 = np.sqrt(2 * g * heights)
+    tb = np.asarray(res.t_events)[:, 0, :]
+    assert tb.dtype == np.float64
+    np.testing.assert_allclose(tb[:, 0], t1, atol=2e-5)
+    np.testing.assert_allclose(tb[:, 1], t1 + 2 * cor * v0 / g, atol=5e-5)
+    assert np.all(np.asarray(res.n_events)[:, 0] >= 2)
+    st = np.asarray(res.status)
+    nr = np.asarray(res.n_restarts)
+    assert np.all((st == Status.SUCCESS) | (st == Status.USER_INTERRUPT))
+    assert np.all(nr[st == Status.USER_INTERRUPT] == 6)
+    np.testing.assert_allclose(np.asarray(res.t)[st == Status.SUCCESS], 12.0,
+                               atol=1e-9)
+    assert np.all(np.asarray(res.y)[:, 0] >= -1e-4)
+
+
+def test_dd_terminal_event_no_restart():
+    """A plain terminal event stops the lane at the crossing; the final
+    state is the interp-grade event state promoted back to the dd carry."""
+    def decay(t, y):
+        return ddm.stack([-y[0]])
+
+    def hit(t, y):
+        return y[0] - 0.5
+
+    hit.terminal = True
+    solver = jax.jit(build_ensemble_solver(decay, "RK45", n=1, dtype="dd",
+                                           events=[hit]))
+    res = solver(np.ones((4, 1)), 0.0, 10.0, 1e-9, 1e-11)
+    from ivp_tpu.types import Status
+    assert np.all(np.asarray(res.status) == Status.USER_INTERRUPT)
+    # y(t*) = 0.5 at t* = ln 2, to f32-interp accuracy on the f64 time axis
+    np.testing.assert_allclose(np.asarray(res.t), np.log(2.0), atol=2e-7)
+    np.testing.assert_allclose(np.asarray(res.y), 0.5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # Facade guard rails
 # ---------------------------------------------------------------------------
 
 def test_dd_guard_rails():
-    with pytest.raises(ValueError, match="dd"):
-        ev = lambda t, y: y[0]
-        ev.terminal = True
-        build_ensemble_solver(vdp_dd, "RK45", n=2, dtype="dd", events=[ev])
     with pytest.raises(ValueError, match="explicit"):
         build_ensemble_solver(vdp_dd, "Radau", n=2, dtype="dd")
 
