@@ -317,13 +317,32 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     ``carry`` is a plain pytree of arrays — save/restore it with any pytree
     checkpointer (e.g. orbax) and call ``resume`` to continue;
     ``carry.done`` reports per-trajectory completion.
+
+    ``dtype="dd"`` is supported with the same contract as
+    :func:`build_ensemble_solver` (DD RHS, f32 event views, f64 event
+    times); the checkpoint carry then holds the state as a DD pytree.
     """
-    dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
-    tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
+    use_dd = _is_dd(dtype)
+    if use_dd:
+        dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
+        tdt = jnp.dtype(jnp.float64)     # exact time axis
+    else:
+        dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+        tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
     method_c = canonical_method(method)
 
-    def rhs(t, y):
-        return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
+    if use_dd:
+        def rhs(t, y):
+            out = fun(t, y, *args)
+            if not isinstance(out, ddm.DD):
+                raise TypeError(
+                    "dtype='dd' RHS must return a DD (build it with DD "
+                    "operators and ivp_tpu.ddmath.stack); got "
+                    f"{type(out).__name__}")
+            return out.reshape(n)
+    else:
+        def rhs(t, y):
+            return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
 
     jac_fn = None
     if method_c in ("RADAU", "BDF"):
@@ -356,8 +375,15 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         sample_grid = _norm_sample_grid(t_eval)
         sample_cap = int(sample_grid.shape[-1])
 
-    engine, p = get_engine(method_c, need_cont=bool(n_ev) or sample_cap > 0,
-                           jac_fn=jac_fn, n=n, **(solver_options or {}))
+    if use_dd:
+        from .methods import dd_erk
+        engine, p = dd_erk.make_engine(
+            method_c, need_cont=bool(n_ev) or sample_cap > 0,
+            **(solver_options or {}))
+    else:
+        engine, p = get_engine(method_c,
+                               need_cont=bool(n_ev) or sample_cap > 0,
+                               jac_fn=jac_fn, n=n, **(solver_options or {}))
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
                        event_spec=ev_spec, sample_cap=sample_cap,
                        max_restarts=max_restarts, unroll=max(1, unroll))
@@ -378,7 +404,10 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         )
 
     def start(y0_batch, t0, tf, rtol, atol):
-        y0_batch = jnp.asarray(y0_batch, dtype)
+        if use_dd:
+            y0_batch = ddm.from_f64(jnp.asarray(y0_batch, jnp.float64))
+        else:
+            y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
         if sample_grid is not None:
             d = np.sign(float(tf) - float(t0)) or 1.0
@@ -414,7 +443,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
             kw.update(y_samples=carry.sample_y, n_samples=carry.s_cursor)
         if max_restarts:
             kw.update(n_restarts=carry.n_restarts)
-        return EnsembleResult(t=carry.t, y=carry.y, status=carry.status,
+        y = ddm.to_f64(carry.y) if use_dd else carry.y
+        return EnsembleResult(t=carry.t, y=y, status=carry.status,
                               nfev=carry.nfev, nstep=carry.nstep,
                               naccpt=carry.naccpt, nrejct=carry.nrejct,
                               **kw)
@@ -446,6 +476,11 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     the ensemble tier previously dropped).  Device memory stays bounded: the
     loop records into (B, rec_chunk) buffers that the host drains between
     re-entries, so total steps per lane are unbounded.
+
+    ``dtype="dd"`` (explicit methods) composes with every option here:
+    final states come back as f64, recorded trajectories / dense output /
+    event states are the f32 views of the dd state, and all time axes
+    (step endpoints, event times, sample grids) keep f64 resolution.
     """
     y0_batch = np.atleast_2d(np.asarray(y0_batch))
     n = y0_batch.shape[1]
@@ -592,13 +627,31 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
     are plain carry arrays, so the single-IVP recording machinery batches
     as-is — each lane has its own cursor, and a vmapped chunk stops when
     every lane is done or full.
+
+    ``dtype="dd"``: recorded step states and dense coefficients are the f32
+    views of the dd state (Engine.lower); the recorded *time* axes keep f64.
     """
-    dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
-    tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
+    use_dd = _is_dd(dtype)
+    if use_dd:
+        dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
+        tdt = jnp.dtype(jnp.float64)     # exact time axis
+    else:
+        dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+        tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
     method_c = canonical_method(method)
 
-    def rhs(t, y):
-        return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
+    if use_dd:
+        def rhs(t, y):
+            out = fun(t, y, *args)
+            if not isinstance(out, ddm.DD):
+                raise TypeError(
+                    "dtype='dd' RHS must return a DD (build it with DD "
+                    "operators and ivp_tpu.ddmath.stack); got "
+                    f"{type(out).__name__}")
+            return out.reshape(n)
+    else:
+        def rhs(t, y):
+            return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
 
     jac_fn = None
     if method_c in ("RADAU", "BDF"):
@@ -632,8 +685,13 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
         sample_cap = int(sample_grid.shape[-1])
 
     need_cont = bool(dense_output or n_ev or sample_cap)
-    engine, p = get_engine(method_c, need_cont=need_cont, jac_fn=jac_fn, n=n,
-                           **(solver_options or {}))
+    if use_dd:
+        from .methods import dd_erk
+        engine, p = dd_erk.make_engine(method_c, need_cont=need_cont,
+                                       **(solver_options or {}))
+    else:
+        engine, p = get_engine(method_c, need_cont=need_cont, jac_fn=jac_fn,
+                               n=n, **(solver_options or {}))
     cfg = DriverConfig(rec_cap=rec_chunk, record_cont=dense_output,
                        ncoeff=engine.ncoeff, event_spec=ev_spec,
                        sample_cap=sample_cap, max_restarts=max_restarts)
@@ -652,7 +710,10 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
         )
 
     def start(y0_batch, t0, tf, rtol, atol):
-        y0_batch = jnp.asarray(y0_batch, dtype)
+        if use_dd:
+            y0_batch = ddm.from_f64(jnp.asarray(y0_batch, jnp.float64))
+        else:
+            y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
         rtol_v, _ = _norm_tol(rtol, B, n, dtype, "rtol")
         atol_v, _ = _norm_tol(atol, B, n, dtype, "atol")
@@ -739,7 +800,9 @@ def _run_recording(entry, y0_batch, t_span, rtol, atol, method,
         kw.update(y_samples=np.asarray(carry.sample_y),
                   n_samples=np.asarray(carry.s_cursor))
     kw.update(n_restarts=np.asarray(carry.n_restarts))
-    return EnsembleResult(t=np.asarray(carry.t), y=np.asarray(carry.y),
+    y_fin = (ddm.to_f64(carry.y) if isinstance(carry.y, ddm.DD)
+             else carry.y)
+    return EnsembleResult(t=np.asarray(carry.t), y=np.asarray(y_fin),
                           status=np.asarray(carry.status),
                           nfev=np.asarray(carry.nfev),
                           nstep=np.asarray(carry.nstep),

@@ -276,6 +276,87 @@ def test_dd_terminal_event_no_restart():
 
 
 # ---------------------------------------------------------------------------
+# High-level facade: dense output, trajectory records, checkpoint/resume
+# ---------------------------------------------------------------------------
+
+def test_dd_dense_output_and_records():
+    """solve_ivp_ensemble(dtype='dd', dense_output=True): per-lane dense
+    records hold the f32 views of the dd state on an f64 time axis; the
+    batched evaluator agrees with an f64 run to f32-interp accuracy."""
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    y0 = np.array([2.0, 0.0]) + 0.05 * np.random.default_rng(3).standard_normal((4, 2))
+    r = solve_ivp_ensemble(vdp_dd, (0.0, 30.0), y0, method="RK45",
+                           rtol=1e-8, atol=1e-10, dtype="dd",
+                           dense_output=True)
+    assert np.all(np.asarray(r.status) == 0)
+    assert r.ts.dtype == np.float64          # time axis keeps f64
+    assert np.all(r.n_steps_rec > 50)
+    r64 = solve_ivp_ensemble(vdp, (0.0, 30.0), y0, method="RK45",
+                             rtol=1e-8, atol=1e-10, dtype=jnp.float64,
+                             dense_output=True)
+    tq = np.linspace(0.0, 30.0, 23)
+    np.testing.assert_allclose(r.sol(tq), r64.sol(tq), rtol=2e-4, atol=2e-4)
+    # recorded per-step states track the f64 trajectory at the recorded times
+    lane = 0
+    k = int(r.n_steps_rec[lane])
+    yk = np.asarray(r64.sol(r.ts[lane, :k]))[lane].T      # (k, n)
+    np.testing.assert_allclose(r.ys[lane, :k], yk, rtol=2e-4, atol=2e-4)
+
+
+def test_dd_resumable_checkpoint():
+    """build_resumable_solver(dtype='dd'): the carry checkpoints as a DD
+    pytree and resumes to the same result as the one-shot solver."""
+    from ivp_tpu.batch import build_resumable_solver
+
+    start, resume, extract = build_resumable_solver(vdp_dd, "RK45", n=2,
+                                                    dtype="dd",
+                                                    chunk_steps=64)
+    y0 = np.tile([2.0, 0.0], (4, 1))
+    carry, ra = start(y0, 0.0, 50.0, 1e-8, 1e-10)
+    rounds = 0
+    while not bool(np.all(np.asarray(carry.done))):
+        # host round-trip: the checkpoint is a plain pytree of arrays
+        flat, treedef = jax.tree_util.tree_flatten(carry)
+        carry = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(np.asarray(x)) for x in flat])
+        carry = resume(carry, ra)
+        rounds += 1
+    assert rounds >= 3  # chunking actually happened
+    res = extract(carry)
+    assert np.asarray(res.y).dtype == np.float64
+    one = jax.jit(build_ensemble_solver(vdp_dd, "RK45", n=2, dtype="dd"))(
+        y0, 0.0, 50.0, 1e-8, 1e-10)
+    np.testing.assert_allclose(np.asarray(res.y), np.asarray(one.y),
+                               rtol=1e-9, atol=1e-9)
+    assert np.array_equal(np.asarray(res.nstep), np.asarray(one.nstep))
+
+
+def test_dd_sharded_8_devices():
+    """dtype='dd' through the sharded facade: the DD conversion happens
+    per-shard inside each device's while-loop, so the dd state shards with
+    the lanes like any carry pytree."""
+    from ivp_tpu import solve_ivp_sharded, solve_ivp_ensemble
+
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    rng = np.random.default_rng(5)
+    B = 32
+    y0s = np.array([2.0, 0.0]) + 0.1 * rng.standard_normal((B, 2))
+    res = solve_ivp_sharded(vdp_dd, (0.0, 10.0), y0s, method="RK45",
+                            rtol=1e-8, atol=1e-10, dtype="dd")
+    assert np.asarray(res.y).dtype == np.float64
+    assert np.all(np.asarray(res.status) == 0)
+    ref = solve_ivp_ensemble(vdp, (0.0, 10.0), y0s, method="RK45",
+                             rtol=1e-8, atol=1e-10, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(res.y), np.asarray(ref.y),
+                               rtol=1e-5, atol=1e-7)
+    # step counts track the f64 controller (same formulas, f32 arithmetic)
+    n_dd = np.asarray(res.nstep, float)
+    n_64 = np.asarray(ref.nstep, float)
+    assert np.max(np.abs(n_dd - n_64) / n_64) < 0.05
+
+
+# ---------------------------------------------------------------------------
 # Facade guard rails
 # ---------------------------------------------------------------------------
 
