@@ -151,8 +151,9 @@ class DD(NamedTuple):
         return add(_coerce(other), neg(self))
 
     def __mul__(self, other):
-        o = _coerce(other)
-        return mul(self, o)
+        if isinstance(other, (int, float, np.floating, np.integer)):
+            return mul_const(self, float(other))
+        return mul(self, _coerce(other))
 
     __rmul__ = __mul__
 
@@ -279,25 +280,100 @@ def zeros(shape, like: DD | None = None) -> DD:
     return DD(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
 
 
-def dot_const(coeffs, ks) -> DD:
+def _const_parts(c: float):
+    """Trace-time Dekker decomposition of a Python-float coefficient:
+    the dd words (hi, lo) of ``c`` plus the split halves (ch, cl) of ``hi``
+    — all exact f32 constants computed with numpy's round-to-nearest f32
+    arithmetic (bit-identical to the device's), so the runtime pays no
+    split (and no barrier) for the constant side of a multiply."""
+    hi = np.float32(c)
+    lo = np.float32(c - float(hi))
+    t = np.float32(_SPLIT * hi)
+    ch = np.float32(t - np.float32(t - hi))
+    cl = np.float32(hi - ch)
+    return hi, lo, ch, cl
+
+
+def _prod_residue(k: DD, hi, lo, ch, cl, p):
+    """Exact residue of ``p = k.hi * hi`` plus the dd cross terms, for a
+    constant whose split halves (ch, cl) are trace-time values.  Every
+    product is pinned with a barrier: with *constant* factors XLA's
+    algebraic simplifier otherwise reassociates/factors the Dekker sum
+    (e.g. xh*ch + xl*ch -> (xh+xl)*ch == k.hi*ch) — valid for reals, and
+    it zeroes exactly the bits the residue exists to capture (measured:
+    DOP853's error sums reject-storm at rtol <= 1e-9 without these)."""
+    bar = lax.optimization_barrier
+    xh, xl = _split(k.hi)
+    e = ((bar(xh * ch) - p) + bar(xh * cl) + bar(xl * ch)) + bar(xl * cl)
+    if lo == 0.0:
+        return e + bar(k.lo * hi)
+    return e + (bar(k.hi * lo) + bar(k.lo * hi))
+
+
+def mul_const(x: DD, c: float) -> DD:
+    """x * c for a trace-time Python-float ``c``: one runtime split
+    (of ``x.hi``) instead of the general multiply's two."""
+    hi, lo, ch, cl = _const_parts(c)
+    p = x.hi * hi
+    e = _prod_residue(x, hi, lo, ch, cl, p)
+    return DD(*_quick_two_sum(p, e))
+
+
+def dot_const(coeffs, ks, exact: bool = False) -> DD:
     """Sum_i c_i * k_i with dd accuracy: Python-float coefficients are split
     to dd constants at trace time; exact zeros are skipped (Butcher tableaus
     are sparse).  ``coeffs`` is {stage_index: weight} or a dense sequence —
-    the dd counterpart of methods/base.py::dotk."""
+    the dd counterpart of methods/base.py::dotk.
+
+    Default: fused dot accumulation (classic double-double ddot) — the
+    products' hi words ride an exact TwoSum chain while every residue
+    (TwoProd errors, cross terms, TwoSum errors) accumulates in plain f32,
+    with one renormalization at the end instead of one dd add per term
+    (fewer HLO ops than mul+add chaining; +6-9% on the DOPRI5 ensemble,
+    measured A/B on a v5e).  The f32 residue stream carries accumulated
+    rounding at the ~2^-45|k| level — fine for stage sums (y + h*sum a_ik,
+    no cancellation) but measurably above the error-estimator floor of a
+    deeply cancelling sum at tight tolerances.
+
+    ``exact=True``: per-term renormalized mul+add chaining (every partial
+    sum is a normalized dd pair, so a final cancellation is captured
+    exactly by the TwoSum in the add).  Use for cancellation-critical sums:
+    the E-weighted error vectors and the solution-bearing B-sums feeding
+    an 8(5,3)-style error subtraction (measured: the fused form's residue
+    floor reject-storms DOP853 at rtol <= 1e-9 on CPU)."""
     if isinstance(coeffs, dict):
         items = coeffs.items()
     else:
         items = ((i, c) for i, c in enumerate(coeffs))
-    acc = None
+    if exact:
+        acc = None
+        for i, c in items:
+            c = float(c)
+            if c == 0.0:
+                continue
+            term = mul_const(ks[i], c)
+            acc = term if acc is None else add(acc, term)
+        if acc is None:
+            return zeros(ks[0].shape)
+        return acc
+    s = None
+    err = None
     for i, c in items:
         c = float(c)
         if c == 0.0:
             continue
-        term = mul(ks[i], const(c))
-        acc = term if acc is None else add(acc, term)
-    if acc is None:
+        k = ks[i]
+        hi, lo, ch, cl = _const_parts(c)
+        p = k.hi * hi
+        e = _prod_residue(k, hi, lo, ch, cl, p)
+        if s is None:
+            s, err = p, e
+        else:
+            s, e2 = _two_sum(s, p)
+            err = err + (e2 + e)
+    if s is None:
         return zeros(ks[0].shape)
-    return acc
+    return DD(*_quick_two_sum(s, err))
 
 
 def dot_hi_f32(coeffs, ks) -> Any:

@@ -39,6 +39,21 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
+def _exact_state() -> bool:
+    """Accumulation mode for solution-bearing stage/B sums, resolved at
+    trace time per backend: the fused ddot (ddmath.dot_const default) is
+    bit-clean on TPU (measured: DOP853 rtol=1e-9 step counts match the
+    f64 engine to 0.01%, +6-9% throughput), but on the CPU backend LLVM's
+    in-kernel FMA contraction perturbs the f32 residue stream enough to
+    raise the stage-state noise floor above tight tolerances (measured:
+    DOP853 reject-storms at rtol <= 1e-9, 6.5x step count).  Off-TPU the
+    per-term renormalized chain (exact=True) restores the clean floor.
+    Error-vector sums are consumed through .hi only and stay fused on
+    every backend (bisect-verified healthy)."""
+    import jax
+    return jax.default_backend() != "tpu"
+
+
 def _hinit_f32(rhs, t, y: DD, posneg, f0: DD, iord, hmax, atol, rtol):
     """Hairer HINIT with the norms in f32 off the hi words (the heuristic
     chooses an order of magnitude; cf. core/common.py::hinit)."""
@@ -112,14 +127,17 @@ def dd_dopri5_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     hdd = DD(h, h_lo)
 
     k1 = ms.k1
-    k2 = rhs(t + C[1] * h64, y + ddm.dot_const(A[0], [k1]) * hdd)
-    k3 = rhs(t + C[2] * h64, y + ddm.dot_const(A[1], [k1, k2]) * hdd)
-    k4 = rhs(t + C[3] * h64, y + ddm.dot_const(A[2], [k1, k2, k3]) * hdd)
+    xs = _exact_state()  # solution-path accumulation mode (see _exact_state)
+    k2 = rhs(t + C[1] * h64, y + ddm.dot_const(A[0], [k1], exact=xs) * hdd)
+    k3 = rhs(t + C[2] * h64,
+             y + ddm.dot_const(A[1], [k1, k2], exact=xs) * hdd)
+    k4 = rhs(t + C[3] * h64,
+             y + ddm.dot_const(A[2], [k1, k2, k3], exact=xs) * hdd)
     k5 = rhs(t + C[4] * h64,
-             y + ddm.dot_const(A[3], [k1, k2, k3, k4]) * hdd)
-    ysti = y + ddm.dot_const(A[4], [k1, k2, k3, k4, k5]) * hdd
+             y + ddm.dot_const(A[3], [k1, k2, k3, k4], exact=xs) * hdd)
+    ysti = y + ddm.dot_const(A[4], [k1, k2, k3, k4, k5], exact=xs) * hdd
     k6 = rhs(t + h64, ysti)
-    ynew = y + ddm.dot_const(A[5], [k1, k2, k3, k4, k5, k6]) * hdd
+    ynew = y + ddm.dot_const(A[5], [k1, k2, k3, k4, k5, k6], exact=xs) * hdd
     k7 = rhs(t + h64, ynew)
     ks = [k1, k2, k3, k4, k5, k6, k7]
 
@@ -228,12 +246,13 @@ def dd_dop853_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     hdd = DD(h, h_lo)
 
     ks = [ms.k1]
+    xs = _exact_state()  # solution-path accumulation mode (see _exact_state)
     for i, row in enumerate(tab.DOP853_A):
         ks.append(rhs(t + C[i + 1] * h64,
-                      y + ddm.dot_const(row, ks) * hdd))
-    y12 = y + ddm.dot_const(tab.DOP853_A[-1], ks[:-1]) * hdd
+                      y + ddm.dot_const(row, ks, exact=xs) * hdd))
+    y12 = y + ddm.dot_const(tab.DOP853_A[-1], ks[:-1], exact=xs) * hdd
 
-    kb = ddm.dot_const(tab.DOP853_B, ks)
+    kb = ddm.dot_const(tab.DOP853_B, ks, exact=xs)
     ynew = y + kb * hdd
 
     # Dual 8(5,3) error norm: both error sums cancel from O(|k|) to O(err),
@@ -372,7 +391,8 @@ def dd_rk23_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     k1 = ms.k1
     k2 = rhs(t + 0.5 * h64, y + (k1 * 0.5) * hdd)
     k3 = rhs(t + 0.75 * h64, y + (k2 * 0.75) * hdd)
-    ynew = y + ddm.dot_const(tab.RK23_B, [k1, k2, k3]) * hdd
+    ynew = y + ddm.dot_const(tab.RK23_B, [k1, k2, k3],
+                             exact=_exact_state()) * hdd
     k4 = rhs(t + h64, ynew)
     ks = [k1, k2, k3, k4]
 
