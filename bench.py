@@ -117,16 +117,27 @@ def measure_stiff(method="Radau", B=131072, t0=0.0, tf=3000.0, rtol=1e-4,
     }
 
 
-def measure_lorenz(B=16384, rtol=1e-8, atol=1e-10):
+def measure_lorenz(B=16384, rtol=1e-8, atol=1e-10, dtype=None):
     """Reference harness config #3 (benchmark.py:129-137): Lorenz chaotic,
-    t in [0, 100], tight tolerances — as a perturbed-IC ensemble."""
-    def lorenz(t, y):
-        return jnp.array([10.0 * (y[1] - y[0]),
-                          y[0] * (28.0 - y[2]) - y[1],
-                          y[0] * y[1] - (8.0 / 3.0) * y[2]])
+    t in [0, 100], tight tolerances — as a perturbed-IC ensemble.
+    ``dtype="dd"`` runs the double-float tier (DOP853 over dd state)."""
+    use_dd = isinstance(dtype, str) and dtype == "dd"
+
+    if use_dd:
+        from ivp_tpu import ddmath as ddm
+
+        def lorenz(t, y):
+            return ddm.stack([(y[1] - y[0]) * 10.0,
+                              y[0] * 28.0 - y[0] * y[2] - y[1],
+                              y[0] * y[1] - y[2] * (8.0 / 3.0)])
+    else:
+        def lorenz(t, y):
+            return jnp.array([10.0 * (y[1] - y[0]),
+                              y[0] * (28.0 - y[2]) - y[1],
+                              y[0] * y[1] - (8.0 / 3.0) * y[2]])
 
     solver = jax.jit(build_ensemble_solver(lorenz, "DOP853", n=3,
-                                           max_steps=200_000))
+                                           max_steps=200_000, dtype=dtype))
     rng = np.random.default_rng(0)
     y0 = jnp.asarray(np.array([1.0, 1.0, 1.0])
                      + 1e-3 * rng.standard_normal((B, 3)))
@@ -136,8 +147,9 @@ def measure_lorenz(B=16384, rtol=1e-8, atol=1e-10):
     res = solver(y0 + 1e-9, 0.0, 100.0, rtol, atol)
     n0 = int(np.asarray(res.nfev[0]))  # sync
     dt = time.perf_counter() - start
+    tag = "dd" if use_dd else "f64"
     return {
-        "config": f"Lorenz, t=[0,100], DOP853, rtol={rtol}, f64, B={B}",
+        "config": f"Lorenz, t=[0,100], DOP853, rtol={rtol}, {tag}, B={B}",
         "ivps_per_sec": round(B / dt, 1),
         "wall_s": round(dt, 3),
         "mean_nstep": float(np.mean(np.asarray(res.nstep))),
@@ -213,6 +225,7 @@ def main():
             return {"error": str(e)[:200]}
 
     lorenz = _aux(measure_lorenz)
+    lorenz_dd = _aux(measure_lorenz, dtype="dd")
     linear100 = _aux(measure_linear100)
     value = f64["ivps_per_sec"]
     out = {
@@ -230,6 +243,7 @@ def main():
             "stiff_radau_f32": stiff_f32,
             "stiff_radau_f64_mixed_newton": stiff_mixed,
             "lorenz_dop853_f64": lorenz,
+            "lorenz_dop853_dd": lorenz_dd,
             "linear_decay_n100_f64": linear100,
             "device": str(jax.devices()[0]),
             "config": "VdP mu=1, t=[0,100], DOPRI5, rtol=1e-6, atol=1e-8",

@@ -223,6 +223,13 @@ def solve_ivp(
     buffer (``event_capacity``) dropped occurrences.
     """
     del vectorized  # the RHS is traced; vectorization is inherent
+    if isinstance(dtype, str) and dtype.lower() in ("dd", "ddf32",
+                                                    "doublefloat"):
+        raise ValueError(
+            "dtype='dd' (the double-float precision tier) is an ensemble "
+            "feature — use solve_ivp_ensemble / build_ensemble_solver / "
+            "solve_ivp_sharded.  A single IVP is compile-bound, so the dd "
+            "tier's arithmetic savings only pay off batched.")
     dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
     # f64-time/f32-state hybrid: time_dtype=jnp.float64 with dtype=float32
     # keeps t/h/event-times at f64 resolution while state math stays f32
