@@ -332,6 +332,28 @@ def test_dd_resumable_checkpoint():
     assert np.array_equal(np.asarray(res.nstep), np.asarray(one.nstep))
 
 
+def test_dd_per_lane_args():
+    """args_batched with dd: every lane integrates its own vector field
+    (mu sweep), state math in dd."""
+    def vdp_mu(t, y, mu):
+        return ddm.stack([y[1], (1.0 - y[0] * y[0]) * y[1] * mu - y[0]])
+
+    mus = np.array([0.5, 1.0, 2.0, 4.0])
+    solver = jax.jit(build_ensemble_solver(vdp_mu, "RK45", n=2, dtype="dd",
+                                           args=(mus,), args_batched=True))
+    y0 = np.tile([2.0, 0.0], (4, 1))
+    r = solver(y0, 0.0, 20.0, 1e-8, 1e-10)
+    assert np.all(np.asarray(r.status) == 0)
+    # per-lane ground truth from the f64 path, one lane at a time
+    from ivp_tpu import solve_ivp
+    for i, mu in enumerate(mus):
+        s = solve_ivp(lambda t, y, m=mu: jnp.array(
+            [y[1], m * (1.0 - y[0] ** 2) * y[1] - y[0]]),
+            (0.0, 20.0), [2.0, 0.0], method="RK45", rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(r.y)[i], s.y[:, -1],
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_dd_sharded_8_devices():
     """dtype='dd' through the sharded facade: the DD conversion happens
     per-shard inside each device's while-loop, so the dd state shards with
