@@ -235,7 +235,11 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                       jnp.broadcast_to(atol, (n,)),
                       jnp.abs(tf - t0), 0.0, max_steps, dtype,
                       t_grid=t_grid, time_dtype=tdt)
-        fs = jnp.asarray(first_step, dtype) if first_step is not None else None
+        # dd: keep first_step at full (time-dtype) resolution — RK4's
+        # fixed h must not be f32-rounded (methods/dd_erk.py::dd_rk4_init);
+        # the adaptive engines' init casts to f32 themselves.
+        fs_dt = tdt if use_dd else dtype
+        fs = jnp.asarray(first_step, fs_dt) if first_step is not None else None
         c = init_carry(t0, y0, fs, ra)
         c = run_chunk(c, ra)
         kw = {}
@@ -423,7 +427,11 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
             hmin=jnp.asarray(0.0, tdt),
             max_steps=jnp.asarray(max_steps, jnp.int32), t_grid=grid)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
-        fs = jnp.asarray(first_step, dtype) if first_step is not None else None
+        # dd: keep first_step at full (time-dtype) resolution — RK4's
+        # fixed h must not be f32-rounded (methods/dd_erk.py::dd_rk4_init);
+        # the adaptive engines' init casts to f32 themselves.
+        fs_dt = tdt if use_dd else dtype
+        fs = jnp.asarray(first_step, fs_dt) if first_step is not None else None
         carry = jax.vmap(lambda y0, tt, r: init_carry(tt, y0, fs, r),
                          in_axes=(0, 0, _ra_axes(ra)))(y0_batch, t0_b, ra)
         return carry, ra
@@ -725,7 +733,11 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
             hmin=jnp.asarray(0.0, tdt),
             max_steps=jnp.asarray(max_steps, jnp.int32), t_grid=grid)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
-        fs = jnp.asarray(first_step, dtype) if first_step is not None else None
+        # dd: keep first_step at full (time-dtype) resolution — RK4's
+        # fixed h must not be f32-rounded (methods/dd_erk.py::dd_rk4_init);
+        # the adaptive engines' init casts to f32 themselves.
+        fs_dt = tdt if use_dd else dtype
+        fs = jnp.asarray(first_step, fs_dt) if first_step is not None else None
         carry = jax.vmap(lambda y0, tt, r: init_carry(tt, y0, fs, r),
                          in_axes=(0, 0, _ra_axes(ra)))(y0_batch, t0_b, ra)
         return carry, ra

@@ -445,6 +445,58 @@ def dd_dopri5_interp(cont, xold, h, ti):
         cont[1] + theta1 * (cont[2] + theta * (cont[3] + theta1 * cont[4])))
 
 
+def dd_rk4_init(rhs, t0, y0: DD, first_step, ra: RunArgs, p: ERKParams):
+    """RK4 keeps the step size in the *time* dtype: a fixed step is a user
+    choice, not a controller choice — rounding 1e-2 to f32 would change the
+    step count and the tend-overshoot point vs the f64 engine (the adaptive
+    dd engines carry h in f32 by design, dd_erk_init)."""
+    ms, nfev = dd_erk_init(rhs, t0, y0, first_step, ra, p)
+    if first_step is not None:
+        h64 = (jnp.abs(jnp.asarray(first_step, ra.tend.dtype))
+               * jnp.sign(ra.tend - jnp.asarray(t0, ra.tend.dtype)))
+    else:
+        h64 = ms.h.astype(ra.tend.dtype)  # auto-chosen step: f32-grade is fine
+    return ms._replace(h=h64), nfev
+
+
+def dd_rk4_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
+                   p: ERKParams):
+    """Fixed-step classical RK4 over dd state (cf. methods/erk.py::
+    rk4_attempt, reference rk4.rs:149-192): the step is always taken with
+    the full fixed h — h lives in the time dtype (dd_rk4_init) and enters
+    the state arithmetic as its exact dd split, so step counts and overshoot
+    match the f64 engine exactly."""
+    h = ms.h  # time-dtype (see dd_rk4_init)
+    last = ((t + 1.01 * h) - ra.tend) * jnp.sign(h) > 0.0
+    h32 = h.astype(jnp.float32)
+    hdd = DD(h32, (h - h32.astype(h.dtype)).astype(jnp.float32))
+
+    k1 = ms.k1
+    k2 = rhs(t + 0.5 * h, y + (k1 * 0.5) * hdd)
+    k3 = rhs(t + 0.5 * h, y + (k2 * 0.5) * hdd)
+    k4 = rhs(t + h, y + k3 * hdd)
+    ynew = y + ddm.dot_const(tab.RK4_B, [k1, k2, k3, k4],
+                             exact=_exact_state()) * hdd
+    t_new = t + h
+    k1_new = rhs(t_new, ynew)
+
+    if p.need_cont:
+        cont = jnp.stack([y.hi, k1.hi, k1_new.hi, ynew.hi])
+    else:
+        cont = jnp.zeros((0,) + y.shape, jnp.float32)
+
+    true_ = jnp.ones((), bool)
+    ms_new = ms._replace(k1=k1_new)
+    return StepProposal(
+        accepted=true_, advance=true_, finished=last,
+        status=_i32(Status.RUNNING),
+        t_new=t_new, y_new=ynew, xold=t, h_used=h, cont=cont,
+        nfev_inc=_i32(4), njev_inc=_i32(0), nlu_inc=_i32(0),
+        count_step=true_, count_reject=jnp.zeros((), bool),
+        ms=ms_new,
+    )
+
+
 def dd_rk23_interp(cont, xold, h, ti):
     s = ((ti - xold) / h).astype(cont.dtype)
     hy = jnp.asarray(h).astype(cont.dtype)
@@ -461,6 +513,7 @@ def dd_dop853_interp(cont, xold, h, ti):
 
 def make_engine(method: str, need_cont: bool, **overrides):
     method = method.upper()
+    init = dd_erk_init
     if method in ("DOPRI5", "RK45"):
         cfg = dict(DOPRI5_DEFAULTS)
         attempt, interp, ncoeff = dd_dopri5_attempt, dd_dopri5_interp, 5
@@ -474,17 +527,23 @@ def make_engine(method: str, need_cont: bool, **overrides):
         cfg = dict(RK23_DEFAULTS)
         attempt, interp, ncoeff = dd_rk23_attempt, dd_rk23_interp, 4
         name = "RK23"
+    elif method == "RK4":
+        from .erk import rk4_interp
+        cfg = {}
+        attempt, interp, ncoeff = dd_rk4_attempt, rk4_interp, 4
+        name = "RK4"
+        init = dd_rk4_init
     else:
         raise ValueError(
-            f"dtype='dd' supports explicit methods DOPRI5/RK45, DOP853 and "
-            f"RK23; got {method!r} (use dtype=float64 for the "
+            f"dtype='dd' supports the explicit methods DOPRI5/RK45, DOP853, "
+            f"RK23 and RK4; got {method!r} (use dtype=float64 for the "
             f"platform-emulation path, or newton_precision='mixed' for "
             f"stiff ensembles)")
     cfg.update(overrides)
     cfg.setdefault("controller_precision", "float32")
     p = ERKParams(method=name, need_cont=need_cont, **cfg)
     eng = Engine(name=name, ncoeff=ncoeff if need_cont else 0,
-                 init=dd_erk_init, attempt=attempt, interp=interp,
+                 init=init, attempt=attempt, interp=interp,
                  # Event/interp boundary adapters (base.py): event functions,
                  # restart maps and event buffers see the f32 hi words (the
                  # dense interpolant is f32-grade anyway); a restart re-enters

@@ -332,6 +332,23 @@ def test_dd_resumable_checkpoint():
     assert np.array_equal(np.asarray(res.nstep), np.asarray(one.nstep))
 
 
+def test_dd_rk4_fixed_step():
+    """Fixed-step RK4 over dd state: same step count as the f64 engine and
+    f64-class global accuracy at h where RK4's O(h^4) error dominates."""
+    sol_dd = jax.jit(build_ensemble_solver(vdp_dd, "RK4", n=2, dtype="dd",
+                                           first_step=1e-2))
+    sol64 = jax.jit(build_ensemble_solver(vdp, "RK4", n=2,
+                                          dtype=jnp.float64,
+                                          first_step=1e-2))
+    y0 = np.tile([2.0, 0.0], (4, 1))
+    r = sol_dd(y0, 0.0, 20.0, 1e-6, 1e-8)
+    r64 = sol64(y0, 0.0, 20.0, 1e-6, 1e-8)
+    assert np.all(np.asarray(r.status) == 0)
+    np.testing.assert_array_equal(np.asarray(r.nstep), np.asarray(r64.nstep))
+    np.testing.assert_allclose(np.asarray(r.y), np.asarray(r64.y),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_dd_per_lane_args():
     """args_batched with dd: every lane integrates its own vector field
     (mu sweep), state math in dd."""
