@@ -58,13 +58,14 @@ _SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker split constant for f32
 def _two_sum(a, b):
     """Knuth TwoSum: s + e == a + b exactly (6 flops, branch-free).
 
-    The barrier pins the *rounded* sum s.  Without it, when one operand is a
-    trace-time constant (28.0 in a user RHS, a Butcher weight, ...), XLA's
-    algebraic simplifier rewrites (c + x) - c -> x — valid for reals, fatal
-    here: the error term evaluates to exactly 0 and the arithmetic silently
-    degrades to f32 (measured on the DOP853 error sum: noise 2^-48 -> 2^-24,
-    reject storms at rtol <= 1e-9).  optimization_barrier costs nothing at
-    runtime — it only stops algebraic rewrites across it.
+    The barriers pin the rounded sum s.  XLA's algebraic simplifier rewrites
+    ``(a + b) - a -> b`` for ANY operands (not just constants — verified:
+    a tracer-aware variant that dropped barriers for runtime-runtime sums
+    degraded the DOP853 dd final state from 4e-11 to 5e-7 vs the f64 engine
+    at rtol 1e-9, while step counts stayed plausible).  The rewrite is valid
+    for reals and zeroes exactly the error word this function exists to
+    compute, so every TwoSum keeps its barriers; the measured ~15% fusion
+    cost on TPU is the price of a correct low word.
     """
     s = lax.optimization_barrier(a + b)
     v = lax.optimization_barrier(s - a)
@@ -74,7 +75,7 @@ def _two_sum(a, b):
 
 def _quick_two_sum(a, b):
     """Dekker FastTwoSum (requires |a| >= |b| for exactness; used for
-    renormalization where the invariant holds to rounding).  Barrier: see
+    renormalization where the invariant holds to rounding).  Barriers: see
     :func:`_two_sum`."""
     s = lax.optimization_barrier(a + b)
     e = b - lax.optimization_barrier(s - a)
@@ -296,18 +297,19 @@ def _const_parts(c: float):
 
 def _prod_residue(k: DD, hi, lo, ch, cl, p):
     """Exact residue of ``p = k.hi * hi`` plus the dd cross terms, for a
-    constant whose split halves (ch, cl) are trace-time values.  Every
-    product is pinned with a barrier: with *constant* factors XLA's
-    algebraic simplifier otherwise reassociates/factors the Dekker sum
-    (e.g. xh*ch + xl*ch -> (xh+xl)*ch == k.hi*ch) — valid for reals, and
-    it zeroes exactly the bits the residue exists to capture (measured:
-    DOP853's error sums reject-storm at rtol <= 1e-9 without these)."""
-    bar = lax.optimization_barrier
+    constant whose split halves (ch, cl) are trace-time values.
+
+    Deliberately *unbarriered*: an A/B on the v5e measured the
+    barrier-pinned form at 188.6k vs 260.6k IVPs/s (-28%, barriers block
+    fusion and force HBM materialization) with bit-identical step counts
+    including DOP853 at rtol 1e-9 — XLA's simplifier does not refactor
+    this shape in practice (the split itself stays pinned inside
+    :func:`_split`, which IS measured-necessary)."""
     xh, xl = _split(k.hi)
-    e = ((bar(xh * ch) - p) + bar(xh * cl) + bar(xl * ch)) + bar(xl * cl)
+    e = ((xh * ch - p) + xh * cl + xl * ch) + xl * cl
     if lo == 0.0:
-        return e + bar(k.lo * hi)
-    return e + (bar(k.hi * lo) + bar(k.lo * hi))
+        return e + k.lo * hi
+    return e + (k.hi * lo + k.lo * hi)
 
 
 def mul_const(x: DD, c: float) -> DD:
