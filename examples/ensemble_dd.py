@@ -30,7 +30,9 @@ def vdp_f64(t, y):
 
 
 def main():
-    B = 100_000
+    # TPU-sized by default; CPU runs (demos/tests) use a small batch — the
+    # tier exists for chip-scale ensembles.
+    B = 100_000 if jax.default_backend() == "tpu" else 2048
     rng = np.random.default_rng(0)
     y0 = np.array([2.0, 0.0]) + 0.1 * rng.standard_normal((B, 2))
 
@@ -59,7 +61,7 @@ def main():
     ground.direction = -1
     ground.restart = lambda t, y: jnp.array([0.0, -cor * y[1]])
 
-    Bb = 4096
+    Bb = 4096 if jax.default_backend() == "tpu" else 512
     heights = np.linspace(1.0, 20.0, Bb)
     y0b = np.stack([heights, np.zeros(Bb)], axis=1)
     res = solve_ivp_ensemble(ball, (0.0, 10.0), y0b, method="RK45",
