@@ -27,18 +27,25 @@ and the time axis stays in platform f64 (exact t accumulation).
 
 ``DD`` is a NamedTuple pytree, so it vmaps/jits/checkpoints like any array.
 
-Two compiler hazards are handled here (both verified empirically):
+Two compiler hazards are handled here (both verified empirically;
+docs/TPU_NOTES.md #20-22):
 
-* XLA's algebraic simplifier rewrites ``(c + x) - c -> x`` when one operand
-  is a trace-time constant — float-invalid, and it zeroes TwoSum's error
-  term.  The ``optimization_barrier`` calls below block it; without them
-  DOP853's error sum degrades to f32 and reject-storms at rtol <= 1e-9.
+* XLA's algebraic simplifier rewrites ``(a + b) - a -> b`` for ANY
+  operands (constants or runtime values) — float-invalid, and it zeroes
+  TwoSum's error word.  The ``optimization_barrier`` calls in
+  :func:`_two_sum`/:func:`_quick_two_sum`/:func:`_split` block it.
+  Barriers are NOT free on TPU (they block fusion, measured ~15% in the
+  hot loop), so they sit exactly where an algebraic identity must be
+  broken and nowhere else — :func:`_prod_residue` has no such shape and
+  is deliberately unbarriered (+27% measured, bit-identical results).
 * On the **CPU** backend only, LLVM contracts mul/add chains into FMAs
   *inside fused kernels* (below HLO — barrier-invariant), which perturbs
   Dekker splits at the ~2^-31 level per step.  On TPU, jitted and eager
   execution agree bit-for-bit (verified), so the production path has full
   ~2^-48 semantics; CPU-run tests see a slightly elevated dd noise floor
-  (~1e-7 after 1e4 steps) and tolerance assertions account for it.
+  (~1e-7 after 1e4 steps) and tolerance assertions account for it.  The
+  same contraction is why solution-bearing dot accumulations chain
+  renormalized adds off-TPU (methods/dd_erk.py::_exact_state).
 
 No counterpart exists in the reference (reference src/ is CPU Rust with
 native f64); this is TPU-first design per the hardware guide.
