@@ -385,19 +385,3 @@ def dot_const(coeffs, ks, exact: bool = False) -> DD:
     return DD(*_quick_two_sum(s, err))
 
 
-def dot_hi_f32(coeffs, ks) -> Any:
-    """Sum_i c_i * k_i.hi in plain f32 — for classifier-grade sums whose
-    consumers run in f32 anyway (controller_precision design,
-    methods/erk.py)."""
-    if isinstance(coeffs, dict):
-        items = coeffs.items()
-    else:
-        items = ((i, c) for i, c in enumerate(coeffs))
-    acc = None
-    for i, c in items:
-        c = np.float32(c)
-        if c == 0.0:
-            continue
-        term = c * ks[i].hi
-        acc = term if acc is None else acc + term
-    return acc
