@@ -183,15 +183,18 @@ def measure_linear100(B=4096, rtol=1e-6, atol=1e-8):
     }
 
 
-def _measure_with_retry(dtype, B, attempts=4):
-    """The remote TPU worker occasionally restarts; retry with backoff."""
+def _measure_with_retry(dtype, B, attempts=6):
+    """The remote TPU worker occasionally restarts and can stay down for
+    tens of minutes (observed twice on 2026-08-17); retry with a patient
+    backoff so a round-end bench run survives an outage window (~25 min
+    total across 6 attempts)."""
     for k in range(attempts):
         try:
             return measure(dtype, B)
         except Exception:
             if k == attempts - 1:
                 raise
-            time.sleep(90 * (k + 1))
+            time.sleep(min(120 * (k + 1), 480))
 
 
 def main():
