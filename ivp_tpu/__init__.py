@@ -30,6 +30,7 @@ from .batch import solve_ivp_ensemble, EnsembleResult        # noqa: E402
 from .parallel.sharding import solve_ivp_sharded             # noqa: E402
 from .core import ddmath                                     # noqa: E402
 from .core.ddmath import DD                                  # noqa: E402
+from .core.ddify import ddify                                # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -44,4 +45,5 @@ __all__ = [
     "EventConfig",
     "ddmath",
     "DD",
+    "ddify",
 ]

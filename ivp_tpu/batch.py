@@ -22,6 +22,7 @@ from .core.cache import LRUCache, cache_token
 from .core.driver import DriverConfig, make_driver, run_args
 from .core.events import EventSpec
 from .core import ddmath as ddm
+from .core.ddify import auto_dd_rhs
 from .methods import get_engine
 from .methods.base import RunArgs
 
@@ -99,6 +100,39 @@ _ENSEMBLE_CACHE = LRUCache(maxsize=64)
 _hashable = cache_token  # GC-safe key component (core/cache.py)
 
 
+def _dd_jac_fn(fun, args_, jac, n):
+    """f32 Jacobian for the dd stiff tier: the factored Newton matrices are
+    f32 by construction (methods/dd_radau.py), so the Jacobian never needs
+    more than f32 — from the user's jac callable (evaluated at the state's
+    hi words) or jacfwd of the plain RHS."""
+    if jac is not None and callable(jac):
+        def jac_fn(t, y):
+            return jnp.asarray(jac(t, y.hi, *args_),
+                               jnp.float32).reshape(n, n)
+    else:
+        def jac_fn(t, y):
+            def f32_rhs(yy):
+                out = fun(t, yy, *args_)
+                if isinstance(out, ddm.DD):
+                    out = out.hi
+                return jnp.asarray(out, jnp.float32).reshape(n)
+            return jax.jacfwd(f32_rhs)(y.hi)
+    return jac_fn
+
+
+def _make_dd_engine(method_c, need_cont, fun, args_, jac, n, solver_options):
+    """Engine factory for the dd tier: explicit methods via methods/dd_erk,
+    RADAU via methods/dd_radau (dd state + f32 Newton solves)."""
+    from .methods import dd_erk
+    if method_c == "RADAU":
+        from .methods import dd_radau
+        return dd_radau.make_engine(
+            need_cont, jac_fn=_dd_jac_fn(fun, args_, jac, n), n=n,
+            **(solver_options or {}))
+    return dd_erk.make_engine(method_c, need_cont=need_cont,
+                              **(solver_options or {}))
+
+
 def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                           jac=None, max_steps: int = 100_000,
                           first_step: Optional[float] = None,
@@ -137,9 +171,11 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
     ``dtype="dd"``: f64-class state precision via the framework's own
     double-float arithmetic (core/ddmath.py) — 2-3x faster than the
-    platform's f64 emulation on TPU.  Explicit methods only; the RHS
-    receives and must return a :class:`~ivp_tpu.core.ddmath.DD`
-    (write it with DD operators / ``ddmath.stack``).  Final states are
+    platform's f64 emulation on TPU.  Explicit methods only.  The RHS may
+    be the same plain-jnp callable used with every other dtype (it is
+    auto-lifted to dd arithmetic by jaxpr reinterpretation,
+    core/ddify.py), or a hand-written DD-native function (DD operators /
+    ``ddmath.stack``) for full control.  Final states are
     returned as f64.  Event and restart functions see plain f32 arrays
     (the state's hi words / the f32-grade dense interpolant) while event
     *times* keep f64 resolution; an in-device restart re-enters the dd
@@ -182,14 +218,14 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         when args_batched; once otherwise)."""
 
         if use_dd:
+            # Accepts either a DD-native RHS or a plain-jnp one: the plain
+            # form is auto-lifted to dd arithmetic by jaxpr reinterpretation
+            # (core/ddify.py), so dtype="dd" takes the same callable as every
+            # other dtype.
+            dd_fun = auto_dd_rhs(fun)
+
             def rhs(t, y):
-                out = fun(t, y, *args_)
-                if not isinstance(out, ddm.DD):
-                    raise TypeError(
-                        "dtype='dd' RHS must return a DD (build it with DD "
-                        "operators and ivp_tpu.ddmath.stack); got "
-                        f"{type(out).__name__}")
-                return out.reshape(n)
+                return dd_fun(t, y, *args_).reshape(n)
         else:
             def rhs(t, y):
                 return jnp.asarray(fun(t, y, *args_), dtype).reshape(n)
@@ -212,10 +248,9 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
         restart_fns = [getattr(e, "restart", None) for e in ev_list]
         if use_dd:
-            from .methods import dd_erk
-            engine, p = dd_erk.make_engine(
-                method, need_cont=bool(n_ev) or sample_cap > 0,
-                **(solver_options or {}))
+            engine, p = _make_dd_engine(
+                method, bool(n_ev) or sample_cap > 0, fun, args_, jac, n,
+                solver_options)
         else:
             engine, p = get_engine(method,
                                    need_cont=bool(n_ev) or sample_cap > 0,
@@ -336,14 +371,10 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     method_c = canonical_method(method)
 
     if use_dd:
+        dd_fun = auto_dd_rhs(fun)  # plain RHS auto-lifted (core/ddify.py)
+
         def rhs(t, y):
-            out = fun(t, y, *args)
-            if not isinstance(out, ddm.DD):
-                raise TypeError(
-                    "dtype='dd' RHS must return a DD (build it with DD "
-                    "operators and ivp_tpu.ddmath.stack); got "
-                    f"{type(out).__name__}")
-            return out.reshape(n)
+            return dd_fun(t, y, *args).reshape(n)
     else:
         def rhs(t, y):
             return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
@@ -380,10 +411,9 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         sample_cap = int(sample_grid.shape[-1])
 
     if use_dd:
-        from .methods import dd_erk
-        engine, p = dd_erk.make_engine(
-            method_c, need_cont=bool(n_ev) or sample_cap > 0,
-            **(solver_options or {}))
+        engine, p = _make_dd_engine(
+            method_c, bool(n_ev) or sample_cap > 0, fun, tuple(args), jac, n,
+            solver_options)
     else:
         engine, p = get_engine(method_c,
                                need_cont=bool(n_ev) or sample_cap > 0,
@@ -649,14 +679,10 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
     method_c = canonical_method(method)
 
     if use_dd:
+        dd_fun = auto_dd_rhs(fun)  # plain RHS auto-lifted (core/ddify.py)
+
         def rhs(t, y):
-            out = fun(t, y, *args)
-            if not isinstance(out, ddm.DD):
-                raise TypeError(
-                    "dtype='dd' RHS must return a DD (build it with DD "
-                    "operators and ivp_tpu.ddmath.stack); got "
-                    f"{type(out).__name__}")
-            return out.reshape(n)
+            return dd_fun(t, y, *args).reshape(n)
     else:
         def rhs(t, y):
             return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
@@ -694,9 +720,8 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
     need_cont = bool(dense_output or n_ev or sample_cap)
     if use_dd:
-        from .methods import dd_erk
-        engine, p = dd_erk.make_engine(method_c, need_cont=need_cont,
-                                       **(solver_options or {}))
+        engine, p = _make_dd_engine(method_c, need_cont, fun, tuple(args),
+                                    jac, n, solver_options)
     else:
         engine, p = get_engine(method_c, need_cont=need_cont, jac_fn=jac_fn,
                                n=n, **(solver_options or {}))

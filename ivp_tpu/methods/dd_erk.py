@@ -535,10 +535,9 @@ def make_engine(method: str, need_cont: bool, **overrides):
         init = dd_rk4_init
     else:
         raise ValueError(
-            f"dtype='dd' supports the explicit methods DOPRI5/RK45, DOP853, "
-            f"RK23 and RK4; got {method!r} (use dtype=float64 for the "
-            f"platform-emulation path, or newton_precision='mixed' for "
-            f"stiff ensembles)")
+            f"dtype='dd' supports DOPRI5/RK45, DOP853, RK23, RK4 and RADAU "
+            f"(methods/dd_radau.py); got {method!r} (use dtype=float64 for "
+            f"the platform-emulation path, e.g. BDF)")
     cfg.update(overrides)
     cfg.setdefault("controller_precision", "float32")
     p = ERKParams(method=name, need_cont=need_cont, **cfg)
