@@ -108,9 +108,10 @@ def measure_stiff(method="Radau", B=131072, t0=0.0, tf=3000.0, rtol=1e-4,
     start_t = time.perf_counter()
     res = run(y0 + 1e-9)
     dt = time.perf_counter() - start_t
+    dt_name = dtype if isinstance(dtype, str) else jnp.dtype(dtype).name
     return {
         "config": f"VdP mu=1000, t=[0,3000], {method}{label}, rtol=1e-4, "
-                  f"{jnp.dtype(dtype).name}, B={B}",
+                  f"{dt_name}, B={B}",
         "ivps_per_sec": round(B / dt, 1),
         "wall_s": round(dt, 3),
         "success_fraction": float(np.mean(np.asarray(res.status) == 0)),
@@ -220,6 +221,8 @@ def main():
     stiff_f32 = _stiff(method="Radau", dtype=jnp.float32)
     stiff_mixed = _stiff(method="Radau", label="/mixed-precision",
                          solver_options={"newton_precision": "mixed"})
+    # The dd stiff tier (methods/dd_radau.py): dd state + f32 Newton solves.
+    stiff_dd = _stiff(method="Radau", dtype="dd")
 
     def _aux(fn, **kw):
         try:
@@ -245,6 +248,7 @@ def main():
             "stiff_bdf_f64": stiff_bdf,
             "stiff_radau_f32": stiff_f32,
             "stiff_radau_f64_mixed_newton": stiff_mixed,
+            "stiff_radau_dd": stiff_dd,
             "lorenz_dop853_f64": lorenz,
             "lorenz_dop853_dd": lorenz_dd,
             "linear_decay_n100_f64": linear100,
