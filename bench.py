@@ -221,8 +221,10 @@ def main():
     stiff_f32 = _stiff(method="Radau", dtype=jnp.float32)
     stiff_mixed = _stiff(method="Radau", label="/mixed-precision",
                          solver_options={"newton_precision": "mixed"})
-    # The dd stiff tier (methods/dd_radau.py): dd state + f32 Newton solves.
+    # The dd stiff tier (methods/dd_radau.py, dd_bdf.py): dd state + f32
+    # Newton solves.
     stiff_dd = _stiff(method="Radau", dtype="dd")
+    stiff_bdf_dd = _stiff(method="BDF", dtype="dd")
 
     def _aux(fn, **kw):
         try:
@@ -249,6 +251,7 @@ def main():
             "stiff_radau_f32": stiff_f32,
             "stiff_radau_f64_mixed_newton": stiff_mixed,
             "stiff_radau_dd": stiff_dd,
+            "stiff_bdf_dd": stiff_bdf_dd,
             "lorenz_dop853_f64": lorenz,
             "lorenz_dop853_dd": lorenz_dd,
             "linear_decay_n100_f64": linear100,

@@ -122,11 +122,17 @@ def _dd_jac_fn(fun, args_, jac, n):
 
 def _make_dd_engine(method_c, need_cont, fun, args_, jac, n, solver_options):
     """Engine factory for the dd tier: explicit methods via methods/dd_erk,
-    RADAU via methods/dd_radau (dd state + f32 Newton solves)."""
+    the stiff methods via methods/dd_radau / dd_bdf (dd state + f32 Newton
+    solves)."""
     from .methods import dd_erk
     if method_c == "RADAU":
         from .methods import dd_radau
         return dd_radau.make_engine(
+            need_cont, jac_fn=_dd_jac_fn(fun, args_, jac, n), n=n,
+            **(solver_options or {}))
+    if method_c == "BDF":
+        from .methods import dd_bdf
+        return dd_bdf.make_engine(
             need_cont, jac_fn=_dd_jac_fn(fun, args_, jac, n), n=n,
             **(solver_options or {}))
     return dd_erk.make_engine(method_c, need_cont=need_cont,

@@ -535,9 +535,8 @@ def make_engine(method: str, need_cont: bool, **overrides):
         init = dd_rk4_init
     else:
         raise ValueError(
-            f"dtype='dd' supports DOPRI5/RK45, DOP853, RK23, RK4 and RADAU "
-            f"(methods/dd_radau.py); got {method!r} (use dtype=float64 for "
-            f"the platform-emulation path, e.g. BDF)")
+            f"unknown explicit dd method {method!r}; the stiff dd engines "
+            f"live in methods/dd_radau.py and methods/dd_bdf.py")
     cfg.update(overrides)
     cfg.setdefault("controller_precision", "float32")
     p = ERKParams(method=name, need_cont=need_cont, **cfg)

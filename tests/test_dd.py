@@ -400,9 +400,12 @@ def test_dd_sharded_8_devices():
 # ---------------------------------------------------------------------------
 
 def test_dd_guard_rails():
-    # BDF has no dd engine: clear error naming the supported set.
-    with pytest.raises(ValueError, match="RADAU"):
-        build_ensemble_solver(vdp_dd, "BDF", n=2, dtype="dd")
+    # Every method has a dd engine now (dd_erk / dd_radau / dd_bdf); the
+    # remaining dd-specific restrictions live on the stiff engines.
+    from ivp_tpu.methods import dd_radau
+    with pytest.raises(ValueError, match="identity mass"):
+        dd_radau.make_engine(False, jac_fn=lambda t, y: None, n=2,
+                             mass=np.eye(2))
 
     # A plain (non-DD) RHS no longer raises: it auto-lifts to dd arithmetic
     # via jaxpr reinterpretation (core/ddify.py; full coverage in
