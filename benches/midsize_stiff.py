@@ -69,12 +69,14 @@ def make_brusselator(N, dtype=jnp.float64):
 
 
 def measure(method, N, B, solver_options=None, tf=10.0, rtol=1e-4, atol=1e-6,
-            label=""):
+            label="", dtype=None):
     n = 2 * N
     rhs, jac, y0f = make_brusselator(N)
     start, resume, extract = build_resumable_solver(
         rhs, method, n=n, jac=jac, chunk_steps=2048,
-        solver_options=solver_options)
+        solver_options=solver_options, dtype=dtype)
+    if isinstance(dtype, str):
+        label = label + f"/{dtype}"
     rng = np.random.default_rng(0)
     y0 = y0f(B, rng)
 
@@ -137,6 +139,11 @@ def main():
         label="/bandedCR")
     add(method="Radau", N=16, B=B,
         solver_options={"newton_precision": "mixed"}, label="/mixedNewton")
+    # dd stiff tier at mid-size (dd state + f32 complex-pair LU).
+    add(method="Radau", N=16, B=B, dtype="dd")
+    add(method="Radau", N=16, B=B, dtype="dd",
+        solver_options={"linear_mode": "banded", "band": (2, 2)},
+        label="/bandedCR")
     # Batched banded ensemble at n=128 (the workload the CR design promises).
     add(method="Radau", N=64, B=Bb,
         solver_options={"linear_mode": "banded", "band": (2, 2)},
