@@ -162,6 +162,21 @@ class TestEndToEnd:
         np.testing.assert_allclose(np.asarray(r_dd.y), np.asarray(r_64.y),
                                    rtol=0, atol=1e-7)
 
+    def test_dense_output_composition(self):
+        # auto-lifted RHS + dense_output through the recording driver:
+        # batched sol() matches the f64 tier at interpolation (f32) grade.
+        y0 = (np.array([2.0, 0.0])
+              + 0.05 * np.random.default_rng(0).standard_normal((4, 2)))
+        r = solve_ivp_ensemble(vdp_plain, (0.0, 10.0), y0, method="RK45",
+                               rtol=1e-8, atol=1e-10, dtype="dd",
+                               dense_output=True)
+        assert np.all(np.asarray(r.status) == 0)
+        ts = np.linspace(0.0, 10.0, 13)
+        r64 = solve_ivp_ensemble(vdp_plain, (0.0, 10.0), y0, method="RK45",
+                                 rtol=1e-8, atol=1e-10, dtype=jnp.float64,
+                                 dense_output=True)
+        np.testing.assert_allclose(r.sol(ts), r64.sol(ts), rtol=0, atol=1e-5)
+
     def test_per_lane_args_lifted(self):
         def rhs(t, y, mu):
             return jnp.array([y[1], mu * (1.0 - y[0] ** 2) * y[1] - y[0]])
