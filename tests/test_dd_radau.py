@@ -120,6 +120,28 @@ class TestDDRadau:
         ye = np.asarray(res.y_events)[:, 0, :2, 0]
         assert np.all(np.abs(ye) < 1e-4)
 
+    def test_banded_backend_matches_lu(self):
+        # dd Radau over the f32 cyclic-reduction banded backend: a 1-D
+        # reaction-diffusion chain with tridiagonal Jacobian.
+        N = 12
+
+        def rhs(t, y):
+            yl = jnp.concatenate([jnp.zeros((1,), y.dtype), y[:-1]])
+            yr = jnp.concatenate([y[1:], jnp.zeros((1,), y.dtype)])
+            return 40.0 * (yl - 2.0 * y + yr) - y ** 3
+
+        y0 = np.tile(np.sin(np.pi * np.arange(1, N + 1) / (N + 1)), (3, 1))
+        r_band = solve_ivp_ensemble(
+            rhs, (0.0, 1.0), y0, method="Radau", rtol=1e-6, atol=1e-9,
+            dtype="dd",
+            solver_options={"linear_mode": "banded", "band": (1, 1)})
+        r_lu = solve_ivp_ensemble(
+            rhs, (0.0, 1.0), y0, method="Radau", rtol=1e-6, atol=1e-9,
+            dtype="dd", solver_options={"linear_mode": "lu"})
+        assert np.all(np.asarray(r_band.status) == 0)
+        np.testing.assert_allclose(np.asarray(r_band.y),
+                                   np.asarray(r_lu.y), rtol=0, atol=1e-7)
+
     def test_rejects_mass_and_dae(self):
         with pytest.raises(ValueError, match="identity mass"):
             from ivp_tpu.methods import dd_radau

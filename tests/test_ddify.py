@@ -109,6 +109,28 @@ class TestInterpreter:
                                    np.asarray(ddm.to_f64(r_lifted)),
                                    rtol=1e-14)
 
+    def test_cond_scan_fallback(self):
+        # Higher-order primitives (lax.cond / lax.scan) in the RHS take the
+        # exact emulated-f64 fallback: correct, merely unaccelerated.
+        from jax import lax
+
+        def rhs(t, y):
+            def pos(v):
+                return -v
+
+            def neg(v):
+                return 2.0 * v
+
+            branchy = lax.cond(y[0] > 0.0, pos, neg, y)
+            acc, _ = lax.scan(lambda c, x: (c + x * x, None), 0.0, y)
+            return branchy + acc
+
+        yv = np.array([0.5, -1.5, 2.0])
+        out = ddify(rhs)(jnp.float64(0.0), _dd_in(yv))
+        ref = np.asarray(rhs(0.0, jnp.asarray(yv)))
+        np.testing.assert_allclose(np.asarray(ddm.to_f64(out)), ref,
+                                   rtol=1e-13, atol=1e-15)
+
     def test_jit_vmap_compose(self):
         f = jax.jit(jax.vmap(lambda y: ddify(vdp_plain)(jnp.float64(0.0), y)))
         yb = _dd_in(np.random.default_rng(2).standard_normal((16, 2)))
