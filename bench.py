@@ -205,15 +205,20 @@ def _measure_with_retry(dtype, B, attempts=6):
 
 
 def main():
-    # 2^18 lanes: measured +1.5% f64 and +15% f32 over 2^17 (larger batches
-    # amortize the lockstep divergence tail and fixed dispatch overheads).
-    B = int(os.environ.get("IVP_TPU_BENCH_B", 262144))
+    # Per-dtype tuned batch sizes (measured same-session sweeps): f64/f32
+    # peak at 2^19 (+2% / +13% over 2^18 — larger batches amortize the
+    # lockstep divergence tail and dispatch overheads; f32 declines again
+    # at 2^20), dd peaks at 2^18 (its 2x state traffic saturates earlier).
+    # IVP_TPU_BENCH_B overrides all three.
+    env_b = os.environ.get("IVP_TPU_BENCH_B")
+    B = int(env_b) if env_b else 524288
+    B_dd = int(env_b) if env_b else 262144
     f64 = _measure_with_retry(jnp.float64, B)
     f32 = _measure_with_retry(jnp.float32, B)
     try:
         # The framework's own double-float tier (dtype="dd", core/ddmath.py):
         # f64-class state precision at ~1.7x the platform-emulation speed.
-        dd = _measure_with_retry("dd", B, attempts=2)
+        dd = _measure_with_retry("dd", B_dd, attempts=2)
     except Exception as e:
         dd = {"error": str(e)[:200]}
     def _stiff(**kw):
@@ -249,6 +254,7 @@ def main():
         "vs_baseline": round(value / NORTH_STAR, 4),
         "extra": {
             "batch": B,
+            "batch_dd": B_dd,
             "f64": f64,
             "f32": f32,
             "dd": dd,
