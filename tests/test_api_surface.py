@@ -10,8 +10,12 @@ def test_top_level_exports():
 
     for name in ["solve_ivp", "solve_ivp_ensemble", "solve_ivp_sharded",
                  "OdeResult", "OdeSolution", "EnsembleResult", "Status",
-                 "EventConfig"]:
+                 "EventConfig", "ddmath", "DD", "ddify"]:
         assert hasattr(ivp_tpu, name), name
+    # the dd tier covers every method family
+    from ivp_tpu.methods import dd_erk, dd_radau, dd_bdf
+    for mod in (dd_erk, dd_radau, dd_bdf):
+        assert hasattr(mod, "make_engine")
 
 
 def test_solve_ivp_signature_scipy_compatible():

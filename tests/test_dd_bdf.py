@@ -101,6 +101,17 @@ class TestDDBDF:
         te = np.asarray(res.t_events)[:, 0, 0]
         np.testing.assert_allclose(te, 5.12288, rtol=0, atol=2e-3)
 
+    def test_dense_output(self):
+        from ivp_tpu import solve_ivp_ensemble as sie
+        y0 = np.tile(np.array([2.0, 0.0]), (3, 1))
+        r = sie(vdp_stiff, (0.0, 10.0), y0, method="BDF", rtol=1e-6,
+                atol=1e-8, dtype="dd", dense_output=True)
+        assert np.all(np.asarray(r.status) == 0)
+        ts = np.linspace(0.5, 9.5, 7)
+        r64 = sie(vdp_stiff, (0.0, 10.0), y0, method="BDF", rtol=1e-6,
+                  atol=1e-8, dtype=jnp.float64, dense_output=True)
+        np.testing.assert_allclose(r.sol(ts), r64.sol(ts), rtol=0, atol=1e-3)
+
     def test_t_eval_sampling(self):
         grid = np.linspace(0.0, 10.0, 21)
         y0 = np.tile(np.array([2.0, 0.0]), (2, 1))
