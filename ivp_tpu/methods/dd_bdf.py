@@ -118,6 +118,27 @@ def dd_change_d(D: DD, order, factor_dd: DD) -> DD:
     return ddm.where(one, D, D_new)
 
 
+import os
+
+# change_d carrier for the dd engine, A/B-able via env:
+#   "dd" (default): the native dd polynomial transform (dd_change_d below).
+#   "roundtrip": exact to_f64 -> platform-f64 change_d -> from_f64 (f64
+#     rounding 2^-53 is tighter than dd's 2^-48, so both are correct).
+# Interleaved in-process A/B on a v5e (the only trustworthy comparison —
+# chip-state drift between processes swamps 10-20% deltas, TPU_NOTES #24):
+# native 57.0-57.4k vs roundtrip 48.8-51.4k IVPs/s on the stiff VdP
+# ensemble — the conversions cost more than the barrier stalls they avoid.
+_CHANGE_D_IMPL = os.environ.get("IVP_TPU_DD_CHANGE_D", "dd")
+
+
+def _rescale_d(D_in: DD, ord_in, f_total):
+    if _CHANGE_D_IMPL == "dd":
+        return dd_change_d(D_in, ord_in, ddm.from_f64(f_total))
+    from .bdf import change_d as change_d64
+    D64 = ddm.to_f64(D_in)
+    return ddm.from_f64(change_d64(D64, ord_in, f_total))
+
+
 def make_dd_bdf_init(jac_fn, p: BDFParams):
     n = p.n
 
@@ -397,7 +418,7 @@ def make_dd_bdf_attempt(jac_fn, p: BDFParams):
         D_in = ddm.where(accepted, D_acc, D)
         ord_in = jnp.where(adapt, new_order, order)
         f_total = h1 / jnp.maximum(h_abs, 1e-300)
-        D_next = dd_change_d(D_in, ord_in, ddm.from_f64(f_total))
+        D_next = _rescale_d(D_in, ord_in, f_total)
         h_next = h1
         n_equal_next = jnp.where(accepted & ~adapt & ~clamp_changed,
                                  n_equal_acc, 0)
