@@ -34,18 +34,35 @@ def vdp(t, y):
 
 def build_stepper(dtype, B, K):
     """scan of K raw step attempts over a B-lane ensemble (lean mode)."""
-    engine, p = get_engine("DOPRI5", need_cont=False, n=2)
+    use_dd = isinstance(dtype, str) and dtype == "dd"
+    if use_dd:
+        from ivp_tpu.methods import dd_erk
+        from ivp_tpu.core.ddify import auto_dd_rhs
 
-    def rhs(t, y):
-        return vdp(t, y).astype(dtype)
+        engine, p = dd_erk.make_engine("DOPRI5", need_cont=False)
+        rhs = auto_dd_rhs(vdp)
+        sdt, tdt = jnp.float32, jnp.float64
+        ra = run_args(100.0, jnp.full((2,), 1e-6, sdt),
+                      jnp.full((2,), 1e-8, sdt), 100.0, 0.0, 1 << 30, sdt,
+                      time_dtype=tdt)
 
-    ra = run_args(100.0, jnp.full((2,), 1e-6, dtype),
-                  jnp.full((2,), 1e-8, dtype), 100.0, 0.0, 1 << 30, dtype)
+        def init_one(y0):
+            t0 = jnp.zeros((), tdt)
+            ms, _ = engine.init(rhs, t0, y0, None, ra, p)
+            return t0, y0, jnp.zeros((), jnp.int32), ms
+    else:
+        engine, p = get_engine("DOPRI5", need_cont=False, n=2)
 
-    def init_one(y0):
-        t0 = jnp.zeros((), dtype)
-        ms, _ = engine.init(rhs, t0, y0, None, ra, p)
-        return t0, y0, jnp.zeros((), jnp.int32), ms
+        def rhs(t, y):
+            return vdp(t, y).astype(dtype)
+
+        ra = run_args(100.0, jnp.full((2,), 1e-6, dtype),
+                      jnp.full((2,), 1e-8, dtype), 100.0, 0.0, 1 << 30, dtype)
+
+        def init_one(y0):
+            t0 = jnp.zeros((), dtype)
+            ms, _ = engine.init(rhs, t0, y0, None, ra, p)
+            return t0, y0, jnp.zeros((), jnp.int32), ms
 
     def attempt_one(state):
         t, y, naccpt, ms = state
@@ -68,10 +85,15 @@ def build_stepper(dtype, B, K):
 
 
 def measure(dtype, B, K):
+    use_dd = isinstance(dtype, str) and dtype == "dd"
     v_init, one_jit, scan_k = build_stepper(dtype, B, K)
     rng = np.random.default_rng(0)
-    y0 = jnp.asarray(np.array([2.0, 0.0]) + 0.05 * rng.standard_normal((B, 2)),
-                     dtype)
+    y0f = np.array([2.0, 0.0]) + 0.05 * rng.standard_normal((B, 2))
+    if use_dd:
+        from ivp_tpu.core import ddmath as ddm
+        y0 = ddm.from_f64(jnp.asarray(y0f, jnp.float64))
+    else:
+        y0 = jnp.asarray(y0f, dtype)
     state = v_init(y0)
     state = jax.block_until_ready(state)
 
@@ -88,7 +110,7 @@ def measure(dtype, B, K):
     per_attempt = dt / K
 
     return {
-        "dtype": jnp.dtype(dtype).name,
+        "dtype": "dd" if use_dd else jnp.dtype(dtype).name,
         "B": B,
         "K": K,
         "hlo_flops_per_attempt": flops,
@@ -106,12 +128,13 @@ def measure(dtype, B, K):
 def main():
     B = int(os.environ.get("IVP_TPU_BENCH_B", 131072))
     K = int(os.environ.get("IVP_TPU_ROOF_STEPS", 200))
-    for dtype in (jnp.float32, jnp.float64):
+    for dtype in (jnp.float32, jnp.float64, "dd"):
         try:
             print(json.dumps(measure(dtype, B, K)), flush=True)
         except Exception as e:
-            print(json.dumps({"dtype": jnp.dtype(dtype).name,
-                              "error": str(e)[:300]}), flush=True)
+            name = dtype if isinstance(dtype, str) else jnp.dtype(dtype).name
+            print(json.dumps({"dtype": name, "error": str(e)[:300]}),
+                  flush=True)
 
 
 if __name__ == "__main__":
