@@ -142,6 +142,8 @@ def _make_dd_engine(method_c, need_cont, fun, args_, jac, n, solver_options):
 def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                           jac=None, max_steps: int = 100_000,
                           first_step: Optional[float] = None,
+                          max_step: Optional[float] = None,
+                          min_step: float = 0.0,
                           events=None, event_capacity: int = 16,
                           unroll: int = 4, t_eval=None,
                           solver_options: Optional[dict] = None,
@@ -272,9 +274,12 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     def solve_one(y0, t0, tf, rtol, atol, t_grid, lane_args):
         init_carry, run_chunk = (build_fns(lane_args) if args_batched
                                  else shared_fns)
+        hmax = jnp.abs(tf - t0)
+        if max_step is not None:
+            hmax = jnp.minimum(hmax, jnp.abs(jnp.asarray(max_step, tdt)))
         ra = run_args(tf, jnp.broadcast_to(rtol, (n,)),
                       jnp.broadcast_to(atol, (n,)),
-                      jnp.abs(tf - t0), 0.0, max_steps, dtype,
+                      hmax, abs(min_step), max_steps, dtype,
                       t_grid=t_grid, time_dtype=tdt)
         # dd: keep first_step at full (time-dtype) resolution — RK4's
         # fixed h must not be f32-rounded (methods/dd_erk.py::dd_rk4_init);
@@ -348,6 +353,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                            max_steps: int = 100_000, events=None,
                            event_capacity: int = 16,
                            first_step: Optional[float] = None,
+                           max_step: Optional[float] = None,
+                           min_step: float = 0.0,
                            t_eval=None, solver_options: Optional[dict] = None,
                            max_restarts: int = 0, unroll: int = 1,
                            time_dtype=None):
@@ -457,10 +464,13 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         atol_v, _ = _norm_tol(atol, B, n, dtype, "atol")
         grid = (jnp.asarray(sample_grid, tdt)
                 if sample_grid is not None else None)
+        hmax = abs(float(tf) - float(t0))
+        if max_step is not None:
+            hmax = min(hmax, abs(float(max_step)))
         ra = RunArgs(
             tend=jnp.asarray(tf, tdt), rtol=rtol_v, atol=atol_v,
-            hmax=jnp.asarray(abs(float(tf) - float(t0)), tdt),
-            hmin=jnp.asarray(0.0, tdt),
+            hmax=jnp.asarray(hmax, tdt),
+            hmin=jnp.asarray(abs(min_step), tdt),
             max_steps=jnp.asarray(max_steps, jnp.int32), t_grid=grid)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
         # dd: keep first_step at full (time-dtype) resolution — RK4's
@@ -498,7 +508,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
 def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                        atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
-                       first_step=None, dtype=None, events=None,
+                       first_step=None, max_step=None, min_step: float = 0.0,
+                       dtype=None, events=None,
                        event_capacity: int = 16, t_eval=None,
                        chunk_steps: int = 16384,
                        solver_options: Optional[dict] = None,
@@ -539,12 +550,13 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
            if t_eval is not None else None,
            tuple(sorted((solver_options or {}).items())), max_restarts,
            record, dense_output, rec_chunk if record else 0,
-           str(time_dtype))
+           str(time_dtype), max_step, min_step)
     if record:
         entry = _ENSEMBLE_CACHE.get_or_build(
             key, lambda: build_recording_solver(
                 fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
-                max_steps=max_steps, first_step=first_step, events=events,
+                max_steps=max_steps, first_step=first_step,
+                max_step=max_step, min_step=min_step, events=events,
                 event_capacity=event_capacity, t_eval=t_eval,
                 solver_options=solver_options, max_restarts=max_restarts,
                 dense_output=dense_output, rec_chunk=rec_chunk,
@@ -553,7 +565,8 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                               dense_output)
     entry = _ENSEMBLE_CACHE.get_or_build(key, lambda: build_resumable_solver(
         fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
-        max_steps=max_steps, first_step=first_step, events=events,
+        max_steps=max_steps, first_step=first_step,
+        max_step=max_step, min_step=min_step, events=events,
         event_capacity=event_capacity, chunk_steps=chunk_steps,
         t_eval=t_eval, solver_options=solver_options,
         max_restarts=max_restarts, time_dtype=time_dtype))
@@ -659,7 +672,9 @@ class BatchOdeSolution:
 
 def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
                            jac=None, max_steps: int = 100_000,
-                           first_step: Optional[float] = None, events=None,
+                           first_step: Optional[float] = None,
+                           max_step: Optional[float] = None,
+                           min_step: float = 0.0, events=None,
                            event_capacity: int = 16, t_eval=None,
                            solver_options: Optional[dict] = None,
                            max_restarts: int = 0, dense_output: bool = True,
@@ -758,10 +773,13 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
         atol_v, _ = _norm_tol(atol, B, n, dtype, "atol")
         grid = (jnp.asarray(sample_grid, tdt)
                 if sample_grid is not None else None)
+        hmax = abs(float(tf) - float(t0))
+        if max_step is not None:
+            hmax = min(hmax, abs(float(max_step)))
         ra = RunArgs(
             tend=jnp.asarray(tf, tdt), rtol=rtol_v, atol=atol_v,
-            hmax=jnp.asarray(abs(float(tf) - float(t0)), tdt),
-            hmin=jnp.asarray(0.0, tdt),
+            hmax=jnp.asarray(hmax, tdt),
+            hmin=jnp.asarray(abs(min_step), tdt),
             max_steps=jnp.asarray(max_steps, jnp.int32), t_grid=grid)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
         # dd: keep first_step at full (time-dtype) resolution — RK4's

@@ -54,6 +54,7 @@ def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data",
 
 def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                       atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
+                      max_step=None, min_step: float = 0.0,
                       mesh: Optional[Mesh] = None, axis: str = "data",
                       dtype=None, events=None, event_capacity: int = 16,
                       t_eval=None, solver_options: Optional[dict] = None,
@@ -80,7 +81,9 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
         mesh = make_mesh(axis=axis)
     solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,
                                    args=tuple(args), jac=jac,
-                                   max_steps=max_steps, events=events,
+                                   max_steps=max_steps,
+                                   max_step=max_step, min_step=min_step,
+                                   events=events,
                                    event_capacity=event_capacity,
                                    t_eval=t_eval,
                                    solver_options=solver_options,

@@ -388,3 +388,30 @@ def test_restart_with_in_loop_sampling():
     np.testing.assert_allclose(ys[:, 1], after, rtol=1e-7)
     assert np.all(ys[:, 1] > 0)
     assert np.all(np.asarray(res.n_samples) == 2)
+
+
+def test_ensemble_max_step_min_step():
+    """max_step bounds accepted steps in the ensemble tier (reference
+    tests/test_step_control.py max_step semantics, here per lane under
+    vmap); min_step floors them."""
+    y0 = np.tile([2.0, 0.0], (4, 1))
+    r_cap = solve_ivp_ensemble(vdp, (0.0, 10.0), y0, method="RK45",
+                               rtol=1e-6, atol=1e-8, max_step=0.05,
+                               record_trajectories=True)
+    assert np.all(np.asarray(r_cap.status) == 0)
+    for i in range(4):
+        k = int(np.asarray(r_cap.n_steps_rec)[i])
+        ts = np.asarray(r_cap.ts)[i, :k]
+        dts = np.diff(np.concatenate([[0.0], ts]))
+        assert np.all(dts <= 0.05 + 1e-12)
+    # uncapped solve takes far fewer steps (steps larger than 0.05 exist)
+    r_free = solve_ivp_ensemble(vdp, (0.0, 10.0), y0, method="RK45",
+                                rtol=1e-6, atol=1e-8)
+    assert np.all(np.asarray(r_cap.nstep) > np.asarray(r_free.nstep))
+
+    # min_step is accepted and the solve still succeeds (the reference's
+    # min_step is an accept-path clamp, not a hard floor on every step —
+    # its own test only asserts success, test_step_control.py:164-176)
+    r_min = solve_ivp_ensemble(vdp, (0.0, 10.0), y0, method="Radau",
+                               rtol=1e-6, atol=1e-8, min_step=1e-10)
+    assert np.all(np.asarray(r_min.status) == 0)
