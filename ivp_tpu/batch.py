@@ -177,6 +177,12 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     while state math runs at f32 speed (fixes the f32 long-horizon limit
     where ``t + h == t`` once steps fall below the f32 ulp of t).
 
+    ``solver_options`` forwards per-engine options (the reference's
+    per-solver builder surface): controller/Newton knobs, and for the stiff
+    methods also ``mass=`` (mass matrix), ``nind=(n1, n2, n3)`` (DAE index
+    partition, Radau) and ``linear_mode=``/``band=`` (linear backend) —
+    mass-matrix/DAE/banded ensembles under vmap.
+
     ``dtype="dd"``: f64-class state precision via the framework's own
     double-float arithmetic (core/ddmath.py) — 2-3x faster than the
     platform's f64 emulation on TPU.  Explicit methods only.  The RHS may
@@ -548,7 +554,9 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
            (np.asarray(t_eval, float).shape,
             np.asarray(t_eval, float).tobytes())
            if t_eval is not None else None,
-           tuple(sorted((solver_options or {}).items())), max_restarts,
+           tuple(sorted((k, _hashable(v))
+                        for k, v in (solver_options or {}).items())),
+           max_restarts,
            record, dense_output, rec_chunk if record else 0,
            str(time_dtype), max_step, min_step)
     if record:

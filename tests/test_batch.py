@@ -415,3 +415,27 @@ def test_ensemble_max_step_min_step():
     r_min = solve_ivp_ensemble(vdp, (0.0, 10.0), y0, method="Radau",
                                rtol=1e-6, atol=1e-8, min_step=1e-10)
     assert np.all(np.asarray(r_min.status) == 0)
+
+
+def test_ensemble_mass_matrix_via_solver_options():
+    """Mass-matrix ensembles: M y' = f through the batched Radau engine
+    (reference mass_storage, solve/options.rs:75-123 — here per-lane under
+    vmap via solver_options)."""
+    M = np.array([[2.0, 0.0], [0.0, 1.0]])
+
+    def rhs(t, y):  # M y' = [y1, -y0]  =>  y' = [y1/2, -y0]
+        return jnp.array([y[1], -y[0]])
+
+    y0 = np.tile([1.0, 0.0], (4, 1))
+    res = solve_ivp_ensemble(rhs, (0.0, 2.0), y0, method="Radau",
+                             rtol=1e-8, atol=1e-10,
+                             solver_options={"mass": M})
+    assert np.all(np.asarray(res.status) == 0)
+
+    def rhs_explicit(t, y):
+        return jnp.array([0.5 * y[1], -y[0]])
+
+    ref = solve_ivp_ensemble(rhs_explicit, (0.0, 2.0), y0, method="RK45",
+                             rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.y), np.asarray(ref.y),
+                               rtol=0, atol=1e-6)
