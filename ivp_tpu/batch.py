@@ -100,47 +100,70 @@ _ENSEMBLE_CACHE = LRUCache(maxsize=64)
 _hashable = cache_token  # GC-safe key component (core/cache.py)
 
 
-def _dd_jac_fn(fun, args_, jac, n):
+def _dd_jac_fn(fun, args_, jac, n, jac_sparsity=None):
     """f32 Jacobian for the dd stiff tier: the factored Newton matrices are
     f32 by construction (methods/dd_radau.py), so the Jacobian never needs
     more than f32 — from the user's jac callable (evaluated at the state's
-    hi words) or jacfwd of the plain RHS."""
+    hi words), grouped FD under a sparsity pattern, or jacfwd of the plain
+    RHS."""
     if jac is not None and callable(jac):
         def jac_fn(t, y):
             return jnp.asarray(jac(t, y.hi, *args_),
                                jnp.float32).reshape(n, n)
+        return jac_fn
+
+    def f32_rhs2(t, yy):
+        out = fun(t, yy, *args_)
+        if isinstance(out, ddm.DD):
+            out = out.hi
+        return jnp.asarray(out, jnp.float32).reshape(n)
+
+    if jac_sparsity is not None:
+        from .core.sparsity import make_grouped_fd_jac
+        fd_jac, _ = make_grouped_fd_jac(f32_rhs2, jac_sparsity, n,
+                                        jnp.float32)
+
+        def jac_fn(t, y):
+            return fd_jac(t, y.hi)
     else:
         def jac_fn(t, y):
-            def f32_rhs(yy):
-                out = fun(t, yy, *args_)
-                if isinstance(out, ddm.DD):
-                    out = out.hi
-                return jnp.asarray(out, jnp.float32).reshape(n)
-            return jax.jacfwd(f32_rhs)(y.hi)
+            return jax.jacfwd(lambda yy: f32_rhs2(t, yy))(y.hi)
     return jac_fn
 
 
-def _make_dd_engine(method_c, need_cont, fun, args_, jac, n, solver_options):
+def _auto_band_opts(method_c, solver_options, jac_sparsity):
+    """Auto-enable the banded linear backend from a narrow-band sparsity
+    pattern (mirrors solve.py:316-324; the engines' "auto" mode still only
+    selects it when profitable and mass-free)."""
+    opts = dict(solver_options or {})
+    if (jac_sparsity is not None and method_c in ("RADAU", "BDF")
+            and "band" not in opts):
+        from .core.block_tridiag import band_of_pattern
+        opts["band"] = band_of_pattern(jac_sparsity)
+    return opts
+
+
+def _make_dd_engine(method_c, need_cont, fun, args_, jac, n, solver_options,
+                    jac_sparsity=None):
     """Engine factory for the dd tier: explicit methods via methods/dd_erk,
     the stiff methods via methods/dd_radau / dd_bdf (dd state + f32 Newton
     solves)."""
     from .methods import dd_erk
-    if method_c == "RADAU":
-        from .methods import dd_radau
-        return dd_radau.make_engine(
-            need_cont, jac_fn=_dd_jac_fn(fun, args_, jac, n), n=n,
-            **(solver_options or {}))
-    if method_c == "BDF":
+    if method_c in ("RADAU", "BDF"):
+        opts = _auto_band_opts(method_c, solver_options, jac_sparsity)
+        jf = _dd_jac_fn(fun, args_, jac, n, jac_sparsity)
+        if method_c == "RADAU":
+            from .methods import dd_radau
+            return dd_radau.make_engine(need_cont, jac_fn=jf, n=n, **opts)
         from .methods import dd_bdf
-        return dd_bdf.make_engine(
-            need_cont, jac_fn=_dd_jac_fn(fun, args_, jac, n), n=n,
-            **(solver_options or {}))
+        return dd_bdf.make_engine(need_cont, jac_fn=jf, n=n, **opts)
     return dd_erk.make_engine(method_c, need_cont=need_cont,
                               **(solver_options or {}))
 
 
 def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
-                          jac=None, max_steps: int = 100_000,
+                          jac=None, jac_sparsity=None,
+                          max_steps: int = 100_000,
                           first_step: Optional[float] = None,
                           max_step: Optional[float] = None,
                           min_step: float = 0.0,
@@ -245,13 +268,11 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
                 return jnp.asarray(fun(t, y, *args_), dtype).reshape(n)
 
         jac_fn = None
-        if method in ("RADAU", "BDF"):
-            if jac is not None and callable(jac):
-                def jac_fn(t, y):
-                    return jnp.asarray(jac(t, y, *args_), dtype).reshape(n, n)
-            else:
-                def jac_fn(t, y):
-                    return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+        const_jac = False
+        if method in ("RADAU", "BDF") and not use_dd:
+            from .solve import _normalize_jac
+            jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, args_,
+                                               jac_sparsity)
 
         events_fn = None
         if n_ev:
@@ -264,12 +285,12 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         if use_dd:
             engine, p = _make_dd_engine(
                 method, bool(n_ev) or sample_cap > 0, fun, args_, jac, n,
-                solver_options)
+                solver_options, jac_sparsity)
         else:
-            engine, p = get_engine(method,
-                                   need_cont=bool(n_ev) or sample_cap > 0,
-                                   jac_fn=jac_fn, n=n,
-                                   **(solver_options or {}))
+            engine, p = get_engine(
+                method, need_cont=bool(n_ev) or sample_cap > 0,
+                jac_fn=jac_fn, const_jac=const_jac, n=n,
+                **_auto_band_opts(method, solver_options, jac_sparsity))
         init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs,
                                                   events_fn, restart_fns)
         return init_carry, run_chunk
@@ -355,7 +376,8 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
 
 def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
-                           jac=None, chunk_steps: int = 1024,
+                           jac=None, jac_sparsity=None,
+                           chunk_steps: int = 1024,
                            max_steps: int = 100_000, events=None,
                            event_capacity: int = 16,
                            first_step: Optional[float] = None,
@@ -399,13 +421,11 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
             return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
 
     jac_fn = None
-    if method_c in ("RADAU", "BDF"):
-        if jac is not None and callable(jac):
-            def jac_fn(t, y):
-                return jnp.asarray(jac(t, y, *args), dtype).reshape(n, n)
-        else:
-            def jac_fn(t, y):
-                return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+    const_jac = False
+    if method_c in ("RADAU", "BDF") and not use_dd:
+        from .solve import _normalize_jac
+        jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, tuple(args),
+                                           jac_sparsity)
 
     ev_list = list(events) if events else []
     n_ev = len(ev_list)
@@ -432,11 +452,12 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     if use_dd:
         engine, p = _make_dd_engine(
             method_c, bool(n_ev) or sample_cap > 0, fun, tuple(args), jac, n,
-            solver_options)
+            solver_options, jac_sparsity)
     else:
-        engine, p = get_engine(method_c,
-                               need_cont=bool(n_ev) or sample_cap > 0,
-                               jac_fn=jac_fn, n=n, **(solver_options or {}))
+        engine, p = get_engine(
+            method_c, need_cont=bool(n_ev) or sample_cap > 0,
+            jac_fn=jac_fn, const_jac=const_jac, n=n,
+            **_auto_band_opts(method_c, solver_options, jac_sparsity))
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
                        event_spec=ev_spec, sample_cap=sample_cap,
                        max_restarts=max_restarts, unroll=max(1, unroll))
@@ -513,7 +534,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
 
 def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
-                       atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
+                       atol=1e-6, args=(), jac=None, jac_sparsity=None,
+                       max_steps: int = 100_000,
                        first_step=None, max_step=None, min_step: float = 0.0,
                        dtype=None, events=None,
                        event_capacity: int = 16, t_eval=None,
@@ -548,7 +570,8 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     record = bool(dense_output or record_trajectories)
     key = ("ensemble", canonical_method(method), n, str(dtype),
            _hashable(fun), tuple(_hashable(a) for a in tuple(args)),
-           _hashable(jac), max_steps, first_step is not None,
+           _hashable(jac), _hashable(jac_sparsity),
+           max_steps, first_step is not None,
            tuple(_hashable(e) for e in (events or [])), event_capacity,
            chunk_steps,
            (np.asarray(t_eval, float).shape,
@@ -563,6 +586,7 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
         entry = _ENSEMBLE_CACHE.get_or_build(
             key, lambda: build_recording_solver(
                 fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
+                jac_sparsity=jac_sparsity,
                 max_steps=max_steps, first_step=first_step,
                 max_step=max_step, min_step=min_step, events=events,
                 event_capacity=event_capacity, t_eval=t_eval,
@@ -573,6 +597,7 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                               dense_output)
     entry = _ENSEMBLE_CACHE.get_or_build(key, lambda: build_resumable_solver(
         fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
+        jac_sparsity=jac_sparsity,
         max_steps=max_steps, first_step=first_step,
         max_step=max_step, min_step=min_step, events=events,
         event_capacity=event_capacity, chunk_steps=chunk_steps,
@@ -679,7 +704,8 @@ class BatchOdeSolution:
 
 
 def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
-                           jac=None, max_steps: int = 100_000,
+                           jac=None, jac_sparsity=None,
+                           max_steps: int = 100_000,
                            first_step: Optional[float] = None,
                            max_step: Optional[float] = None,
                            min_step: float = 0.0, events=None,
@@ -717,13 +743,11 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
             return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
 
     jac_fn = None
-    if method_c in ("RADAU", "BDF"):
-        if jac is not None and callable(jac):
-            def jac_fn(t, y):
-                return jnp.asarray(jac(t, y, *args), dtype).reshape(n, n)
-        else:
-            def jac_fn(t, y):
-                return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+    const_jac = False
+    if method_c in ("RADAU", "BDF") and not use_dd:
+        from .solve import _normalize_jac
+        jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, tuple(args),
+                                           jac_sparsity)
 
     ev_list = list(events) if events else []
     n_ev = len(ev_list)
@@ -750,10 +774,12 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
     need_cont = bool(dense_output or n_ev or sample_cap)
     if use_dd:
         engine, p = _make_dd_engine(method_c, need_cont, fun, tuple(args),
-                                    jac, n, solver_options)
+                                    jac, n, solver_options, jac_sparsity)
     else:
-        engine, p = get_engine(method_c, need_cont=need_cont, jac_fn=jac_fn,
-                               n=n, **(solver_options or {}))
+        engine, p = get_engine(
+            method_c, need_cont=need_cont, jac_fn=jac_fn,
+            const_jac=const_jac, n=n,
+            **_auto_band_opts(method_c, solver_options, jac_sparsity))
     cfg = DriverConfig(rec_cap=rec_chunk, record_cont=dense_output,
                        ncoeff=engine.ncoeff, event_spec=ev_spec,
                        sample_cap=sample_cap, max_restarts=max_restarts)

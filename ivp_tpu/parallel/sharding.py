@@ -53,7 +53,8 @@ def shard_ensemble_solver(solver, mesh: Mesh, axis: str = "data",
 
 
 def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
-                      atol=1e-6, args=(), jac=None, max_steps: int = 100_000,
+                      atol=1e-6, args=(), jac=None, jac_sparsity=None,
+                      max_steps: int = 100_000,
                       max_step=None, min_step: float = 0.0,
                       mesh: Optional[Mesh] = None, axis: str = "data",
                       dtype=None, events=None, event_capacity: int = 16,
@@ -81,6 +82,7 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
         mesh = make_mesh(axis=axis)
     solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,
                                    args=tuple(args), jac=jac,
+                                   jac_sparsity=jac_sparsity,
                                    max_steps=max_steps,
                                    max_step=max_step, min_step=min_step,
                                    events=events,

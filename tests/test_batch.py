@@ -439,3 +439,39 @@ def test_ensemble_mass_matrix_via_solver_options():
                              rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(res.y), np.asarray(ref.y),
                                rtol=0, atol=1e-6)
+
+
+def test_ensemble_jac_sparsity_grouped_fd_and_banded():
+    """jac_sparsity in the ensemble tier: grouped-FD Jacobian (reference
+    src/python/sparsity.rs) + automatic banded-backend selection
+    (matrix/base.rs banded storage), vmapped."""
+    N = 12
+
+    def rhs(t, y):
+        yl = jnp.concatenate([jnp.zeros((1,), y.dtype), y[:-1]])
+        yr = jnp.concatenate([y[1:], jnp.zeros((1,), y.dtype)])
+        return 10.0 * (yl - 2.0 * y + yr) - y ** 3
+
+    pattern = np.zeros((N, N))
+    for i in range(N):
+        for j in range(max(0, i - 1), min(N, i + 2)):
+            pattern[i, j] = 1.0
+
+    y0 = np.tile(np.sin(np.pi * np.arange(1, N + 1) / (N + 1)), (3, 1))
+    r_sp = solve_ivp_ensemble(rhs, (0.0, 0.5), y0, method="Radau",
+                              rtol=1e-7, atol=1e-10, jac_sparsity=pattern)
+    r_fd = solve_ivp_ensemble(rhs, (0.0, 0.5), y0, method="Radau",
+                              rtol=1e-7, atol=1e-10)
+    assert np.all(np.asarray(r_sp.status) == 0)
+    np.testing.assert_allclose(np.asarray(r_sp.y), np.asarray(r_fd.y),
+                               rtol=0, atol=1e-7)
+    # grouped FD costs ~n_groups (3) RHS evals per jac instead of n (12)
+    assert np.asarray(r_sp.nfev).max() < np.asarray(r_fd.nfev).max() + 1
+
+    # and through the dd tier
+    r_dd = solve_ivp_ensemble(rhs, (0.0, 0.5), y0, method="Radau",
+                              rtol=1e-7, atol=1e-10, jac_sparsity=pattern,
+                              dtype="dd")
+    assert np.all(np.asarray(r_dd.status) == 0)
+    np.testing.assert_allclose(np.asarray(r_dd.y), np.asarray(r_fd.y),
+                               rtol=0, atol=1e-6)
