@@ -27,6 +27,8 @@ Newton, error/order adaptation and the folded end-of-attempt rescale.
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -117,8 +119,6 @@ def dd_change_d(D: DD, order, factor_dd: DD) -> DD:
     one = (factor_dd.hi == 1.0) & (factor_dd.lo == 0.0)
     return ddm.where(one, D, D_new)
 
-
-import os
 
 # change_d carrier for the dd engine, A/B-able via env:
 #   "dd" (default): the native dd polynomial transform (dd_change_d below).
