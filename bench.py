@@ -76,15 +76,12 @@ def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
     return stats
 
 
-def measure_stiff(method="Radau", B=131072, t0=0.0, tf=3000.0, rtol=1e-4,
-                  atol=1e-6, dtype=jnp.float64, solver_options=None,
-                  label=""):
-    """Secondary metric: stiff Van der Pol mu=1000 (chunked resumable solve).
-
-    Config matches the reference harness's stiff benchmark (reference
-    benches/benchmark.py:118-126): mu=1000, t in [0, 3000] — about two
-    relaxation-oscillation periods, ~405 Radau / ~904 BDF steps per IVP.
-    """
+def _build_stiff_runner(method="Radau", B=131072, t0=0.0, tf=3000.0,
+                        rtol=1e-4, atol=1e-6, dtype=jnp.float64,
+                        solver_options=None):
+    """Stiff VdP mu=1000 ensemble runner (chunked resumable solve); config
+    matches the reference harness's stiff benchmark (reference
+    benches/benchmark.py:118-126)."""
     from ivp_tpu.batch import build_resumable_solver
 
     def vdp_stiff(t, y):
@@ -96,17 +93,29 @@ def measure_stiff(method="Radau", B=131072, t0=0.0, tf=3000.0, rtol=1e-4,
     rng = np.random.default_rng(0)
     y0 = np.array([2.0, 0.0]) + 0.02 * rng.standard_normal((B, 2))
 
-    def run(y0b):
-        carry, ra = start(y0b, t0, tf, rtol, atol)
+    def run(eps):
+        carry, ra = start(y0 + eps, t0, tf, rtol, atol)
         while True:
             carry = resume(carry, ra)
             if bool(np.all(np.asarray(carry.done))):
                 break
         return extract(carry)
 
-    run(y0)  # warmup/compile
+    return run
+
+
+def measure_stiff(method="Radau", B=131072, t0=0.0, tf=3000.0, rtol=1e-4,
+                  atol=1e-6, dtype=jnp.float64, solver_options=None,
+                  label=""):
+    """Single stiff config (one warm repeat).  For the bench report the
+    stiff configs are measured INTERLEAVED (measure_stiff_matrix) — the
+    chip's throughput drifts enough between sequential configs to distort
+    their ratios (docs/TPU_NOTES.md #24)."""
+    run = _build_stiff_runner(method, B, t0, tf, rtol, atol, dtype,
+                              solver_options)
+    run(0.0)  # warmup/compile
     start_t = time.perf_counter()
-    res = run(y0 + 1e-9)
+    res = run(1e-9)
     dt = time.perf_counter() - start_t
     dt_name = dtype if isinstance(dtype, str) else jnp.dtype(dtype).name
     return {
@@ -116,6 +125,54 @@ def measure_stiff(method="Radau", B=131072, t0=0.0, tf=3000.0, rtol=1e-4,
         "wall_s": round(dt, 3),
         "success_fraction": float(np.mean(np.asarray(res.status) == 0)),
     }
+
+
+def measure_stiff_matrix(configs, B=131072, rounds=2):
+    """Measure several stiff configs with interleaved timing rounds
+    (TPU_NOTES #24: cross-config drift swamps <2x ratios otherwise).
+    Returns {key: row} with each row's best wall across rounds."""
+    built = []
+    out = {}
+    for key, kw in configs:
+        try:
+            bkw = {k: v for k, v in kw.items() if k != "label"}
+            run = _build_stiff_runner(B=B, **bkw)
+            run(0.0)  # compile + warm
+            built.append((key, kw, run))
+        except Exception as e:
+            out[key] = {"error": str(e)[:200]}
+    walls = {key: [] for key, _, _ in built}
+    ok = {}
+    for r in range(rounds):
+        for key, kw, run in built:
+            try:
+                # Unmeasured staging run first: switching programs on the
+                # remote worker costs a re-staging overhead that would
+                # otherwise land inside the timed run and compress ratios
+                # (the same reason the dedicated interleaved A/Bs time the
+                # run right after the same program's warmup).
+                run((2 * r + 1) * 1e-9)
+                t0 = time.perf_counter()
+                res = run((2 * r + 2) * 1e-9)
+                walls[key].append(time.perf_counter() - t0)
+                ok[key] = float(np.mean(np.asarray(res.status) == 0))
+            except Exception as e:
+                out[key] = {"error": str(e)[:200]}
+    for key, kw, _ in built:
+        if key in out or not walls[key]:
+            continue
+        dt = float(np.min(walls[key]))
+        dtype = kw.get("dtype", jnp.float64)
+        dt_name = dtype if isinstance(dtype, str) else jnp.dtype(dtype).name
+        out[key] = {
+            "config": f"VdP mu=1000, t=[0,3000], {kw.get('method', 'Radau')}"
+                      f"{kw.get('label', '')}, rtol=1e-4, {dt_name}, B={B}, "
+                      f"interleaved best-of-{rounds}",
+            "ivps_per_sec": round(B / dt, 1),
+            "wall_s": round(dt, 3),
+            "success_fraction": ok.get(key, float("nan")),
+        }
+    return out
 
 
 def measure_lorenz(B=16384, rtol=1e-8, atol=1e-10, dtype=None):
@@ -221,21 +278,30 @@ def main():
         dd = _measure_with_retry("dd", B_dd, attempts=2)
     except Exception as e:
         dd = {"error": str(e)[:200]}
-    def _stiff(**kw):
-        try:  # secondary metrics must never break the report
-            return measure_stiff(**kw)
-        except Exception as e:
-            return {"error": str(e)[:200]}
-
-    stiff = _stiff(method="Radau")
-    stiff_bdf = _stiff(method="BDF")
-    stiff_f32 = _stiff(method="Radau", dtype=jnp.float32)
-    stiff_mixed = _stiff(method="Radau", label="/mixed-precision",
-                         solver_options={"newton_precision": "mixed"})
-    # The dd stiff tier (methods/dd_radau.py, dd_bdf.py): dd state + f32
-    # Newton solves.
-    stiff_dd = _stiff(method="Radau", dtype="dd")
-    stiff_bdf_dd = _stiff(method="BDF", dtype="dd")
+    # Stiff configs measured with interleaved timing rounds so their
+    # RATIOS are trustworthy despite chip-throughput drift (TPU_NOTES #24).
+    try:
+        stiff_rows = measure_stiff_matrix([
+            ("radau_f64", dict(method="Radau")),
+            ("bdf_f64", dict(method="BDF")),
+            ("radau_f32", dict(method="Radau", dtype=jnp.float32)),
+            ("radau_mixed", dict(
+                method="Radau", label="/mixed-precision",
+                solver_options={"newton_precision": "mixed"})),
+            # The dd stiff tier (methods/dd_radau.py, dd_bdf.py).
+            ("radau_dd", dict(method="Radau", dtype="dd")),
+            ("bdf_dd", dict(method="BDF", dtype="dd")),
+        ])
+    except Exception as e:  # secondary metrics must never break the report
+        stiff_rows = {"error": str(e)[:200]}
+    _g = (stiff_rows.get if isinstance(stiff_rows, dict)
+          else (lambda *_: {"error": "matrix failed"}))
+    stiff = _g("radau_f64", {})
+    stiff_bdf = _g("bdf_f64", {})
+    stiff_f32 = _g("radau_f32", {})
+    stiff_mixed = _g("radau_mixed", {})
+    stiff_dd = _g("radau_dd", {})
+    stiff_bdf_dd = _g("bdf_dd", {})
 
     def _aux(fn, **kw):
         try:
