@@ -127,7 +127,7 @@ def measure_stiff(method="Radau", B=131072, t0=0.0, tf=3000.0, rtol=1e-4,
     }
 
 
-def measure_stiff_matrix(configs, B=131072, rounds=2):
+def measure_stiff_matrix(configs, B=131072, rounds=3):
     """Measure several stiff configs with interleaved timing rounds
     (TPU_NOTES #24: cross-config drift swamps <2x ratios otherwise).
     Returns {key: row} with each row's best wall across rounds."""
