@@ -120,6 +120,27 @@ class TestDDRadau:
         ye = np.asarray(res.y_events)[:, 0, :2, 0]
         assert np.all(np.abs(ye) < 1e-4)
 
+    def test_backward_integration(self):
+        def decay_osc(t, y):
+            return jnp.array([-0.5 * y[0] + 10.0 * y[1],
+                              -10.0 * y[0] - 0.5 * y[1]])
+
+        tf = 3.0
+        ref = np.exp(-0.5 * tf) * np.array([np.cos(10 * tf),
+                                            -np.sin(10 * tf)])
+        rb = solve_ivp_ensemble(decay_osc, (tf, 0.0), np.tile(ref, (3, 1)),
+                                method="Radau", rtol=1e-8, atol=1e-11,
+                                dtype="dd")
+        assert np.all(np.asarray(rb.status) == 0)
+        np.testing.assert_allclose(np.asarray(rb.y),
+                                   np.tile([1.0, 0.0], (3, 1)),
+                                   rtol=0, atol=1e-5)
+        rb64 = solve_ivp_ensemble(decay_osc, (tf, 0.0), np.tile(ref, (3, 1)),
+                                  method="Radau", rtol=1e-8, atol=1e-11,
+                                  dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(rb.y), np.asarray(rb64.y),
+                                   rtol=0, atol=1e-8)
+
     def test_banded_backend_matches_lu(self):
         # dd Radau over the f32 cyclic-reduction banded backend: a 1-D
         # reaction-diffusion chain with tridiagonal Jacobian.
