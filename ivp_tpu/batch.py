@@ -560,7 +560,11 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     loop records into (B, rec_chunk) buffers that the host drains between
     re-entries, so total steps per lane are unbounded.
 
-    ``dtype="dd"`` (explicit methods) composes with every option here:
+    ``max_step`` / ``min_step`` bound the adaptive step sizes;
+    ``jac_sparsity`` enables the grouped-FD Jacobian and auto-selects the
+    banded linear backend for the stiff methods (every precision tier).
+
+    ``dtype="dd"`` composes with every option here:
     final states come back as f64, recorded trajectories / dense output /
     event states are the f32 views of the dd state, and all time axes
     (step endpoints, event times, sample grids) keep f64 resolution.
@@ -568,6 +572,18 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     y0_batch = np.atleast_2d(np.asarray(y0_batch))
     n = y0_batch.shape[1]
     record = bool(dense_output or record_trajectories)
+    if n == 0:
+        # Empty system: nothing to integrate (reference solve_ivp.rs:147-176
+        # fast path, extended to the ensemble tier).
+        B = y0_batch.shape[0]
+        z = np.zeros((B,), np.int32)
+        kw = {}
+        if record:
+            kw.update(ts=np.zeros((B, 0)), ys=np.zeros((B, 0, 0)),
+                      n_steps_rec=z.astype(np.int64))
+        return EnsembleResult(
+            t=np.full((B,), float(t_span[1])), y=np.zeros((B, 0)),
+            status=z, nfev=z, nstep=z, naccpt=z, nrejct=z, **kw)
     key = ("ensemble", canonical_method(method), n, str(dtype),
            _hashable(fun), tuple(_hashable(a) for a in tuple(args)),
            _hashable(jac), _hashable(jac_sparsity),

@@ -475,3 +475,18 @@ def test_ensemble_jac_sparsity_grouped_fd_and_banded():
     assert np.all(np.asarray(r_dd.status) == 0)
     np.testing.assert_allclose(np.asarray(r_dd.y), np.asarray(r_fd.y),
                                rtol=0, atol=1e-6)
+
+
+def test_ensemble_empty_system():
+    """Empty system (n=0) succeeds trivially in the ensemble tier
+    (reference solve_ivp.rs:147-176 fast path; scipy test_ivp.py:712-728)."""
+    r = solve_ivp_ensemble(lambda t, y: y[:0], (0.0, 1.0), np.zeros((3, 0)),
+                           method="RK45")
+    assert np.all(np.asarray(r.status) == 0)
+    assert np.asarray(r.y).shape == (3, 0)
+    np.testing.assert_allclose(np.asarray(r.t), 1.0)
+    r2 = solve_ivp_ensemble(lambda t, y: y[:0], (0.0, 1.0),
+                            np.zeros((2, 0)), method="Radau",
+                            dense_output=True)
+    assert np.all(np.asarray(r2.status) == 0)
+    assert np.asarray(r2.ys).shape == (2, 0, 0)
