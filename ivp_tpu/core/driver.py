@@ -111,9 +111,16 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
                       n_rec=jnp.zeros((0,), jnp.int32), t_buf=jnp.zeros((0, 1), tdt),
                       y_buf=jnp.zeros((0, 1, n), dtype),
                       overflow=jnp.zeros((0,), bool)))
+        # Per-lane zero-interval fast path (reference solve_ivp.rs:109-145,
+        # |xend - x0| < 1e-15, here per lane under vmap): the lane is done
+        # at init with its initial state — without this, a trivial span
+        # spins the controller against h -> 0 until max_steps.
+        trivial = jnp.abs(ra.tend - t0) < 1e-15
         return Carry(
             t=t0, y=y0, ms=ms,
-            status=_i32(Status.RUNNING), done=jnp.zeros((), bool),
+            status=jnp.where(trivial, _i32(Status.SUCCESS),
+                             _i32(Status.RUNNING)),
+            done=trivial,
             nfev=_i32(nfev0), njev=_i32(0), nlu=_i32(0),
             nstep=_i32(0), naccpt=_i32(0), nrejct=_i32(0),
             n_rec=_i32(0),

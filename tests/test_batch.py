@@ -490,3 +490,24 @@ def test_ensemble_empty_system():
                             dense_output=True)
     assert np.all(np.asarray(r2.status) == 0)
     assert np.asarray(r2.ys).shape == (2, 0, 0)
+
+
+def test_ensemble_zero_interval_lanes():
+    """Per-lane zero-interval spans finish trivially with SUCCESS
+    (reference solve_ivp.rs:109-145 fast path, per lane under vmap)."""
+    from ivp_tpu.batch import build_ensemble_solver
+
+    solver = build_ensemble_solver(expdec, "RK45", n=1, max_steps=50)
+    t0 = np.array([0.0, 2.0, 0.0])
+    tf = np.array([1.0, 2.0, 2.0])
+    r = solver(np.ones((3, 1)), t0, tf, 1e-9, 1e-12)
+    assert np.all(np.asarray(r.status) == 0)
+    np.testing.assert_allclose(np.asarray(r.y).ravel(),
+                               [np.exp(-1.0), 1.0, np.exp(-2.0)], rtol=1e-8)
+    assert int(np.asarray(r.nstep)[1]) == 0  # trivial lane did no work
+
+    # whole-batch zero interval through the facade
+    r2 = solve_ivp_ensemble(expdec, (2.0, 2.0), np.ones((3, 1)),
+                            method="RK45", max_steps=50)
+    assert np.all(np.asarray(r2.status) == 0)
+    np.testing.assert_allclose(np.asarray(r2.y).ravel(), 1.0)
