@@ -511,3 +511,19 @@ def test_ensemble_zero_interval_lanes():
                             method="RK45", max_steps=50)
     assert np.all(np.asarray(r2.status) == 0)
     np.testing.assert_allclose(np.asarray(r2.y).ravel(), 1.0)
+
+
+def test_ensemble_mixed_directions():
+    """Forward and backward lanes coexist in one batch (per-lane posneg):
+    the batched analog of reference tests/backward_and_bounds.rs."""
+    from ivp_tpu.batch import build_ensemble_solver
+
+    solver = build_ensemble_solver(expdec, "RK45", n=1)
+    t0 = np.array([0.0, 3.0, 1.0])
+    tf = np.array([3.0, 0.0, 3.0])   # fwd, bwd, fwd
+    y0 = np.array([[1.0], [np.exp(-3.0)], [np.exp(-1.0)]])
+    r = solver(y0, t0, tf, 1e-10, 1e-13)
+    assert np.all(np.asarray(r.status) == 0)
+    np.testing.assert_allclose(
+        np.asarray(r.y).ravel(),
+        [np.exp(-3.0), 1.0, np.exp(-3.0)], rtol=1e-8)
