@@ -186,3 +186,29 @@ class TestDDRadau:
                                  rtol=1e-6, atol=1e-8, dtype="dd")
         np.testing.assert_allclose(np.asarray(res.y), np.asarray(ref.y),
                                    rtol=0, atol=1e-10)
+
+
+def test_dd_radau_per_lane_args():
+    """Per-lane parameter sweep through the dd stiff tier (args_batched):
+    each lane integrates its own stiffness mu with its own Jacobian."""
+    import jax.numpy as jnp
+    from ivp_tpu.batch import build_ensemble_solver
+
+    def rhs(t, y, mu):
+        return jnp.array([y[1], mu * (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+    B = 6
+    mus = np.linspace(5.0, 40.0, B)
+    y0 = np.tile([2.0, 0.0], (B, 1))
+    solver = build_ensemble_solver(rhs, "Radau", n=2, dtype="dd",
+                                   args=(jnp.asarray(mus),),
+                                   args_batched=True)
+    res = solver(y0, 0.0, 10.0, 1e-6, 1e-8)
+    assert np.all(np.asarray(res.status) == 0)
+    # spot-check ends against per-lane f64 solves
+    for i in (0, B - 1):
+        ref = solve_ivp_ensemble(rhs, (0.0, 10.0), y0[i:i + 1],
+                                 method="Radau", rtol=1e-6, atol=1e-8,
+                                 args=(float(mus[i]),))
+        np.testing.assert_allclose(np.asarray(res.y[i]),
+                                   np.asarray(ref.y[0]), rtol=0, atol=2e-4)
