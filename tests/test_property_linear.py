@@ -61,3 +61,30 @@ def test_random_linear_vs_expm(method, dtype, rtol, atol, tol):
     scale = np.max(np.abs(exact))
     np.testing.assert_allclose(np.asarray(res.y), exact, rtol=0,
                                atol=tol * max(scale, 1.0))
+
+
+class TestLogisticClosedForm:
+    """Nonlinear closed-form net: logistic growth y' = y(1-y) with
+    y(t) = 1 / (1 + (1/y0 - 1) e^{-t}), across precision tiers including
+    the f64-time/f32-state hybrid."""
+
+    @pytest.mark.parametrize("method,dtype,kw,tol", [
+        ("RK45", None, {}, 1e-8),              # default f64
+        ("RK45", "dd", {}, 1e-8),
+        ("BDF", None, {}, 1e-5),
+        ("RK45", jnp.float32,
+         {"time_dtype": jnp.float64}, 5e-5),   # hybrid
+    ], ids=["f64", "dd", "bdf-f64", "hybrid-f32"])
+    def test_logistic(self, method, dtype, kw, tol):
+        def rhs(t, y):
+            return y * (1.0 - y)
+
+        y0 = np.array([[0.1], [0.5], [0.9]])
+        tf = 4.0
+        res = solve_ivp_ensemble(rhs, (0.0, tf), y0, method=method,
+                                 rtol=1e-9 if tol < 1e-4 else 1e-7,
+                                 atol=1e-12, dtype=dtype, **kw)
+        assert np.all(np.asarray(res.status) == 0)
+        exact = 1.0 / (1.0 + (1.0 / y0[:, 0] - 1.0) * np.exp(-tf))
+        np.testing.assert_allclose(np.asarray(res.y)[:, 0], exact,
+                                   rtol=0, atol=tol)
