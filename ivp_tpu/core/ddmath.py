@@ -229,10 +229,21 @@ def neg(x: DD) -> DD:
     return DD(-x.hi, -x.lo)
 
 
-def mul(x: DD, y: DD) -> DD:
-    """dd multiply; second-order (lo*lo) term dropped (~2^-48 relative)."""
+def mul(x: DD, y: DD, renorm: bool = True) -> DD:
+    """dd multiply; second-order (lo*lo) term dropped (~2^-48 relative).
+
+    ``renorm=False`` skips the final renormalization: every Dekker formula
+    here is exact for *unnormalized* pairs too (two_prod splits the hi word
+    exactly whatever the lo bound; cross terms use lo verbatim), so a
+    product feeding straight into another dd add/mul can stay unnormalized
+    — the consumer's renormalization absorbs it.  The only cost is a
+    slightly larger dropped x.lo*y.lo-class term (still ~2^-45-level).
+    Keep the default for values whose .hi is consumed alone (error
+    estimators) or stored in carries."""
     p, e = _two_prod(x.hi, y.hi)
     e = e + (x.hi * y.lo + x.lo * y.hi)
+    if not renorm:
+        return DD(p, e)
     return DD(*_quick_two_sum(p, e))
 
 
@@ -328,7 +339,7 @@ def mul_const(x: DD, c: float) -> DD:
     return DD(*_quick_two_sum(p, e))
 
 
-def dot_const(coeffs, ks, exact: bool = False) -> DD:
+def dot_const(coeffs, ks, exact: bool = False, renorm: bool = True) -> DD:
     """Sum_i c_i * k_i with dd accuracy: Python-float coefficients are split
     to dd constants at trace time; exact zeros are skipped (Butcher tableaus
     are sparse).  ``coeffs`` is {stage_index: weight} or a dense sequence —
@@ -349,7 +360,12 @@ def dot_const(coeffs, ks, exact: bool = False) -> DD:
     exactly by the TwoSum in the add).  Use for cancellation-critical sums:
     the E-weighted error vectors and the solution-bearing B-sums feeding
     an 8(5,3)-style error subtraction (measured: the fused form's residue
-    floor reject-storms DOP853 at rtol <= 1e-9 on CPU)."""
+    floor reject-storms DOP853 at rtol <= 1e-9 on CPU).
+
+    ``renorm=False`` (fused mode only) returns the raw (hi-chain, residue)
+    pair without the final renormalization — valid when the result feeds
+    straight into another dd op (see :func:`mul`); never use it for a
+    value whose .hi is consumed alone."""
     if isinstance(coeffs, dict):
         items = coeffs.items()
     else:
@@ -382,6 +398,8 @@ def dot_const(coeffs, ks, exact: bool = False) -> DD:
             err = err + (e2 + e)
     if s is None:
         return zeros(ks[0].shape)
+    if not renorm:
+        return DD(s, err)
     return DD(*_quick_two_sum(s, err))
 
 

@@ -54,6 +54,23 @@ def _exact_state() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _stage_renorm() -> bool:
+    """Renormalization policy for the stage chain dot -> (*h) -> (+y):
+    the intermediate renorms are cosmetic (every Dekker formula is exact
+    for unnormalized pairs; the closing add renormalizes the stored
+    state), so the TPU fused path skips them — fewer barrier-pinned
+    quick_two_sums per stage.  CPU keeps full renormalization (its exact
+    per-term chains never produce unnormalized intermediates anyway).
+    Override with IVP_TPU_DD_RENORM=full / =lean."""
+    import os
+    mode = os.environ.get("IVP_TPU_DD_RENORM")
+    if mode == "full":
+        return True
+    if mode == "lean":
+        return False
+    return _exact_state()  # True (full renorm) off-TPU, False (lean) on TPU
+
+
 def _hinit_f32(rhs, t, y: DD, posneg, f0: DD, iord, hmax, atol, rtol):
     """Hairer HINIT with the norms in f32 off the hi words (the heuristic
     chooses an order of magnitude; cf. core/common.py::hinit)."""
@@ -128,16 +145,19 @@ def dd_dopri5_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
 
     k1 = ms.k1
     xs = _exact_state()  # solution-path accumulation mode (see _exact_state)
-    k2 = rhs(t + C[1] * h64, y + ddm.dot_const(A[0], [k1], exact=xs) * hdd)
-    k3 = rhs(t + C[2] * h64,
-             y + ddm.dot_const(A[1], [k1, k2], exact=xs) * hdd)
-    k4 = rhs(t + C[3] * h64,
-             y + ddm.dot_const(A[2], [k1, k2, k3], exact=xs) * hdd)
-    k5 = rhs(t + C[4] * h64,
-             y + ddm.dot_const(A[3], [k1, k2, k3, k4], exact=xs) * hdd)
-    ysti = y + ddm.dot_const(A[4], [k1, k2, k3, k4, k5], exact=xs) * hdd
+    rn = _stage_renorm()  # intermediate renorm policy (see _stage_renorm)
+
+    def stage(row, kl):
+        s = ddm.dot_const(row, kl, exact=xs, renorm=rn)
+        return y + ddm.mul(s, hdd, renorm=rn)
+
+    k2 = rhs(t + C[1] * h64, stage(A[0], [k1]))
+    k3 = rhs(t + C[2] * h64, stage(A[1], [k1, k2]))
+    k4 = rhs(t + C[3] * h64, stage(A[2], [k1, k2, k3]))
+    k5 = rhs(t + C[4] * h64, stage(A[3], [k1, k2, k3, k4]))
+    ysti = stage(A[4], [k1, k2, k3, k4, k5])
     k6 = rhs(t + h64, ysti)
-    ynew = y + ddm.dot_const(A[5], [k1, k2, k3, k4, k5, k6], exact=xs) * hdd
+    ynew = stage(A[5], [k1, k2, k3, k4, k5, k6])
     k7 = rhs(t + h64, ynew)
     ks = [k1, k2, k3, k4, k5, k6, k7]
 
@@ -247,13 +267,21 @@ def dd_dop853_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
 
     ks = [ms.k1]
     xs = _exact_state()  # solution-path accumulation mode (see _exact_state)
-    for i, row in enumerate(tab.DOP853_A):
-        ks.append(rhs(t + C[i + 1] * h64,
-                      y + ddm.dot_const(row, ks, exact=xs) * hdd))
-    y12 = y + ddm.dot_const(tab.DOP853_A[-1], ks[:-1], exact=xs) * hdd
+    rn = _stage_renorm()  # intermediate renorm policy (see _stage_renorm)
 
+    def stage(row, kl):
+        s = ddm.dot_const(row, kl, exact=xs, renorm=rn)
+        return y + ddm.mul(s, hdd, renorm=rn)
+
+    for i, row in enumerate(tab.DOP853_A):
+        ks.append(rhs(t + C[i + 1] * h64, stage(row, ks)))
+    y12 = stage(tab.DOP853_A[-1], ks[:-1])
+
+    # kb stays renormalized: its words enter the cancelling 8(5,3) err2
+    # subtraction below, where tight word bounds keep the dropped-term
+    # budget at the proven level.
     kb = ddm.dot_const(tab.DOP853_B, ks, exact=xs)
-    ynew = y + kb * hdd
+    ynew = y + ddm.mul(kb, hdd, renorm=rn)
 
     # Dual 8(5,3) error norm: both error sums cancel from O(|k|) to O(err),
     # so the dots run in dd; the norms run in f32 off the hi words
@@ -389,10 +417,14 @@ def dd_rk23_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     hdd = DD(h, h_lo)
 
     k1 = ms.k1
-    k2 = rhs(t + 0.5 * h64, y + (k1 * 0.5) * hdd)
-    k3 = rhs(t + 0.75 * h64, y + (k2 * 0.75) * hdd)
-    ynew = y + ddm.dot_const(tab.RK23_B, [k1, k2, k3],
-                             exact=_exact_state()) * hdd
+    xs = _exact_state()
+    rn = _stage_renorm()
+    k2 = rhs(t + 0.5 * h64,
+             y + ddm.mul(ddm.mul_const(k1, 0.5), hdd, renorm=rn))
+    k3 = rhs(t + 0.75 * h64,
+             y + ddm.mul(ddm.mul_const(k2, 0.75), hdd, renorm=rn))
+    ynew = y + ddm.mul(ddm.dot_const(tab.RK23_B, [k1, k2, k3], exact=xs,
+                                     renorm=rn), hdd, renorm=rn)
     k4 = rhs(t + h64, ynew)
     ks = [k1, k2, k3, k4]
 

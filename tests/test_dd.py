@@ -413,3 +413,26 @@ def test_dd_guard_rails():
     solver = build_ensemble_solver(vdp, "RK45", n=2, dtype="dd")
     res = solver(np.tile([2.0, 0.0], (2, 1)), 0.0, 1.0, 1e-6, 1e-8)
     assert np.all(np.asarray(res.status) == 0)
+
+
+def test_lean_renorm_correctness():
+    """renorm=False dot/mul feed-through: Dekker formulas are exact for
+    unnormalized pairs, so a lean chain agrees with the fully renormalized
+    one to the dd noise floor (the TPU stage-path optimization,
+    methods/dd_erk.py::_stage_renorm)."""
+    from ivp_tpu.core import ddmath as ddm
+    rng = np.random.default_rng(0)
+    ks = [ddm.from_f64(jnp.asarray(rng.standard_normal(16))) for _ in range(6)]
+    h = ddm.from_f64(jnp.asarray(0.0123456789))
+    coeffs = [0.1, -0.3, 0.25, 0.0, 0.7, -0.05]
+    lean = ddm.mul(ddm.dot_const(coeffs, ks, renorm=False), h, renorm=False)
+    full = ddm.mul(ddm.dot_const(coeffs, ks, renorm=True), h, renorm=True)
+    # compare as values (hi+lo), not per-word
+    d = np.asarray(ddm.to_f64(ddm.add(lean, ddm.neg(full))))
+    ref = np.max(np.abs(np.asarray(ddm.to_f64(full))))
+    assert np.max(np.abs(d)) <= 1e-13 * max(ref, 1.0)
+    # a closing add renormalizes the lean result
+    y = ddm.from_f64(jnp.asarray(rng.standard_normal(16)))
+    out = ddm.add(y, lean)
+    assert np.all(np.abs(np.asarray(out.lo))
+                  <= np.spacing(np.abs(np.asarray(out.hi)).astype(np.float32)))
