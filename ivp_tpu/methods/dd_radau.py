@@ -60,6 +60,15 @@ def _exact_state() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _residual_renorm() -> bool:
+    """Renorm policy for the Newton residual chain (TI-dots and fac·f
+    products feeding the r = TI·g − fac·f subtractions): intermediates may
+    stay unnormalized — the closing dd add renormalizes before .hi is
+    consumed by the f32 solve (see methods/dd_erk.py::_stage_renorm)."""
+    from .dd_erk import _stage_renorm
+    return _stage_renorm()
+
+
 def _sc(x) -> DD:
     """Runtime f64 scalar -> dd scalar (exact split)."""
     return ddm.from_f64(x)
@@ -120,6 +129,7 @@ def make_dd_radau_attempt(jac_fn, p: RadauParams):
 
     def attempt(rhs, t, y: DD, naccpt, ms: RadauState, ra: RunArgs, p_):
         xs = _exact_state()
+        rn = _residual_renorm()
         cdt = f32
         rtol_t, atol_t = _transform_tols(ra)
         if p.newton_tol is not None:
@@ -211,12 +221,17 @@ def make_dd_radau_attempt(jac_fn, p: RadauParams):
             # TI-transform + (fac/alph/beta)·f subtractions, all dd — this
             # difference is the Newton residual; it cancels toward zero as
             # the iteration converges, which is exactly where f32 assembly
-            # would bias the converged state (see module docstring).
-            r1 = lc3(TIr[0], [g1, g2, g3], xs) - fac1 * s["f1"]
-            r2 = (lc3(TIr[1], [g1, g2, g3], xs) - alphn * s["f2"]
-                  + betan * s["f3"])
-            r3 = (lc3(TIr[2], [g1, g2, g3], xs) - alphn * s["f3"]
-                  - betan * s["f2"])
+            # would bias the converged state (see module docstring).  The
+            # chain intermediates run lean (renorm=rn): the closing dd adds
+            # renormalize before the .hi words feed the f32 solves.
+            ti1 = ddm.dot_const(TIr[0], [g1, g2, g3], exact=xs, renorm=rn)
+            ti2 = ddm.dot_const(TIr[1], [g1, g2, g3], exact=xs, renorm=rn)
+            ti3 = ddm.dot_const(TIr[2], [g1, g2, g3], exact=xs, renorm=rn)
+            r1 = ti1 - ddm.mul(fac1, s["f1"], renorm=rn)
+            r2 = (ti2 - ddm.mul(alphn, s["f2"], renorm=rn)
+                  + ddm.mul(betan, s["f3"], renorm=rn))
+            r3 = (ti3 - ddm.mul(alphn, s["f3"], renorm=rn)
+                  - ddm.mul(betan, s["f2"], renorm=rn))
 
             # f32 correction solves against the factored E1 / E2.
             d1 = solve1(lin, r1.hi)
@@ -305,7 +320,8 @@ def make_dd_radau_attempt(jac_fn, p: RadauParams):
         #      addition to f0 cancel, so they run in dd; the solve and the
         #      norm are controller-grade f32 ----
         hee0, hee1, hee2 = _sc(DDc[0] / h), _sc(DDc[1] / h), _sc(DDc[2] / h)
-        f1e = hee0 * z1 + hee1 * z2 + hee2 * z3
+        f1e = (ddm.mul(hee0, z1, renorm=rn) + ddm.mul(hee1, z2, renorm=rn)
+               + ddm.mul(hee2, z3, renorm=rn))
         err_rhs = (f1e + ms.f0).hi
         err_vec = solve1(lin, err_rhs)
 
