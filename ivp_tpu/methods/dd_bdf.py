@@ -261,8 +261,12 @@ def make_dd_bdf_attempt(jac_fn, p: BDFParams):
             maxed = s["it"] >= p.newton_maxiter
             f = rhs(x_new, s["y_new"])
             # residual c·f − psi − delta: cancels toward zero as Newton
-            # converges — the dd assembly is what the tier buys.
-            rhs_dd = ddm.mul(f, cy_dd) - psi - s["delta"]
+            # converges — the dd assembly is what the tier buys.  The c·f
+            # product runs lean (the closing subtractions renormalize; see
+            # methods/dd_erk.py::_stage_renorm).
+            from .dd_erk import _stage_renorm
+            rhs_dd = ddm.mul(f, cy_dd, renorm=_stage_renorm()) \
+                - psi - s["delta"]
             dy = solve(lin, rhs_dd.hi)
             dyc = dy * inv_scale
             dy_norm = jnp.sqrt(jnp.mean(dyc * dyc))
