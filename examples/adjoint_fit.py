@@ -1,0 +1,66 @@
+"""Fit ODE parameters by gradient descent through the solver.
+
+``ivp_tpu.odeint_adjoint`` makes the adaptive integration reverse-mode
+differentiable (continuous adjoint: the backward pass solves the adjoint ODE
+a' = -aᵀ∂f/∂y with parameter quadratures, O(1) memory in step count), so a
+least-squares trajectory fit is just ``jax.grad`` + any optimizer.
+
+Here: recover the Van der Pol damping μ and the initial state from noisy
+trajectory observations — the classic inverse problem the reference library
+(a forward solver only) cannot express.
+
+Run time: a few seconds on CPU; the same program runs unchanged on TPU.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ivp_tpu import odeint_adjoint
+
+
+def vdp(t, y, mu):
+    return jnp.array([y[1], mu * (1.0 - y[0] ** 2) * y[1] - y[0]])
+
+
+def main():
+    ts = jnp.linspace(0.0, 8.0, 17)
+
+    # Ground truth + noisy trajectory observations
+    mu_true, y0_true = 1.6, jnp.array([2.0, 0.0])
+    obs = odeint_adjoint(vdp, y0_true, ts, (mu_true,), rtol=1e-9, atol=1e-11)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(np.asarray(obs) + 0.01 * rng.normal(size=obs.shape))
+
+    def loss(params):
+        ys = odeint_adjoint(vdp, params["y0"], ts, (params["mu"],),
+                            rtol=1e-8, atol=1e-10)
+        return jnp.mean((ys - data) ** 2)
+
+    params = {"mu": jnp.asarray(0.8), "y0": jnp.array([1.0, 0.5])}
+    opt = optax.adam(5e-2)
+    state = opt.init(params)
+    step = jax.jit(lambda p, s: _step(p, s, loss, opt))
+
+    for i in range(400):
+        params, state, l = step(params, state)
+        if i % 50 == 0:
+            print(f"iter {i:3d}  loss {float(l):.3e}  "
+                  f"mu {float(params['mu']):.4f}  "
+                  f"y0 {np.asarray(params['y0']).round(4)}")
+
+    print(f"\nrecovered mu = {float(params['mu']):.4f} (true {mu_true})")
+    print(f"recovered y0 = {np.asarray(params['y0']).round(4)} "
+          f"(true {np.asarray(y0_true)})")
+    assert abs(float(params["mu"]) - mu_true) < 0.05
+
+
+def _step(params, state, loss, opt):
+    l, g = jax.value_and_grad(loss)(params)
+    updates, state = opt.update(g, state)
+    return optax.apply_updates(params, updates), state, l
+
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,9 @@ numerical solution map with no hand-written variational equations:
     d y(T) / d theta   (parameter sensitivities)
 
 Forward mode is the right direction for IVPs (few inputs, trajectory-sized
-outputs); reverse mode through a while_loop is not supported by JAX.
+outputs); JAX cannot reverse-differentiate a while_loop directly — for
+scalar-loss gradients over many parameters use the continuous-adjoint tier
+(``ivp_tpu.odeint_adjoint``, examples/adjoint_fit.py).
 Composes with vmap: per-lane Jacobians across an ensemble in one program.
 """
 import numpy as np

@@ -10,7 +10,8 @@ def test_top_level_exports():
 
     for name in ["solve_ivp", "solve_ivp_ensemble", "solve_ivp_sharded",
                  "OdeResult", "OdeSolution", "EnsembleResult", "Status",
-                 "EventConfig", "ddmath", "DD", "ddify"]:
+                 "EventConfig", "ddmath", "DD", "ddify",
+                 "odeint", "odeint_adjoint"]:
         assert hasattr(ivp_tpu, name), name
     # the dd tier covers every method family
     from ivp_tpu.methods import dd_erk, dd_radau, dd_bdf
