@@ -28,6 +28,51 @@ def safe_pow(x, p):
     return r
 
 
+@jax.custom_jvp
+def _ratio_sqrt(a, b):
+    """sqrt(a/b) with a tangent that never squares its operands.
+
+    The default jvp's quotient rule forms b**2; under the TPU's range-limited
+    f64 emulation any product beyond the f32 range (~3.4e38) is NaN
+    (docs/TPU_NOTES.md #14), so for hinit's dnf ~ 1e20+ (tight tolerances)
+    the sensitivity/jvp path NaN-poisons while the primal is fine.  The
+    custom tangent uses the log-derivative form d(sqrt(a/b)) =
+    sqrt(a/b)/2 * (da/a - db/b) — ratios of like-magnitude quantities only.
+    """
+    return jnp.sqrt(a / b)
+
+
+@_ratio_sqrt.defjvp
+def _ratio_sqrt_jvp(primals, tangents):
+    a, b = primals
+    da, db = tangents
+    r = jnp.sqrt(a / b)
+    tiny = jnp.asarray(1e-300 if r.dtype == jnp.float64 else 1e-38, r.dtype)
+    dr = 0.5 * r * (da / jnp.maximum(a, tiny) - db / jnp.maximum(b, tiny))
+    return r, dr
+
+
+@jax.custom_jvp
+def _inv_pow(d, c, p):
+    """(c/d)**p with a tangent in log-derivative form (no d**2).
+
+    Same hazard as _ratio_sqrt: hinit's der12 can exceed ~1.8e19 at tight
+    tolerances, and the default jvp of c/d forms d**2 -> NaN under the
+    range-limited f64 emulation.  c and p are trace-time constants.
+    """
+    return (c / d) ** p
+
+
+@_inv_pow.defjvp
+def _inv_pow_jvp(primals, tangents):
+    d, c, p = primals
+    dd, _, _ = tangents
+    r = (c / d) ** p
+    tiny = jnp.asarray(1e-300 if r.dtype == jnp.float64 else 1e-38, r.dtype)
+    dr = -p * r * dd / jnp.maximum(d, tiny)
+    return r, dr
+
+
 def error_scale(atol, rtol, y):
     """Component scale ``atol + rtol*|y|`` (one fused op on TPU)."""
     return atol + rtol * jnp.abs(y)
@@ -51,7 +96,7 @@ def hinit(rhs, t, y, posneg, f0, iord, hmax, atol, rtol):
     dny = jnp.sum((y / sk) ** 2)
 
     h = jnp.where(
-        (dnf <= 1e-10) | (dny <= 1e-10), 1.0e-6, jnp.sqrt(dny / dnf) * 0.01
+        (dnf <= 1e-10) | (dny <= 1e-10), 1.0e-6, _ratio_sqrt(dny, dnf) * 0.01
     )
     h = jnp.minimum(h, jnp.abs(hmax))
     h = jnp.abs(h) * jnp.sign(posneg)
@@ -67,7 +112,7 @@ def hinit(rhs, t, y, posneg, f0, iord, hmax, atol, rtol):
     h1 = jnp.where(
         der12 <= 1.0e-15,
         jnp.maximum(1.0e-6, jnp.abs(h) * 1.0e-3),
-        (0.01 / der12) ** (1.0 / iord),
+        _inv_pow(der12, 0.01, 1.0 / iord),
     )
     # min(|h|, 100|h|, h1, |hmax|) == min(|h|, h1, |hmax|)
     h_final = jnp.minimum(jnp.minimum(jnp.abs(h), h1), jnp.abs(hmax))

@@ -79,3 +79,54 @@ class TestForwardSensitivity:
         np.testing.assert_allclose(np.asarray(Js[0]), np.asarray(J0),
                                    rtol=0, atol=1e-12)
         assert np.all(np.isfinite(np.asarray(Js)))
+
+
+class TestTangentRangeSafety:
+    """Regression tests for the TPU emulated-f64 range hazard in jvp paths.
+
+    On the TPU runtime, f64 products beyond the f32 range (~3.4e38) are NaN
+    (docs/TPU_NOTES.md #14).  The default jvp of ``a/b`` forms ``b**2``, so
+    hinit's tangent NaN-poisoned every forward sensitivity at tight
+    tolerances on chip (dnf ~ 1e22 -> dnf**2 ~ 1e45) while CPU stayed green.
+    hinit now routes through custom-jvp helpers whose tangents use the
+    log-derivative form (ratios only, no squared denominators); these tests
+    pin the tangent *formulas* (exactness vs analytic), which CPU can check.
+    """
+
+    def test_ratio_sqrt_tangent_analytic(self):
+        from ivp_tpu.core.common import _ratio_sqrt
+        a, b = jnp.float64(9.9e17), jnp.float64(4.0e22)
+        da, db = jnp.float64(3.0e17), jnp.float64(-2.0e22)
+        r, dr = jax.jvp(_ratio_sqrt, (a, b), (da, db))
+        expect = float(jnp.sqrt(a / b)) * 0.5 * (float(da / a) - float(db / b))
+        np.testing.assert_allclose(float(r), float(jnp.sqrt(a / b)), rtol=0)
+        np.testing.assert_allclose(float(dr), expect, rtol=1e-12)
+
+    def test_inv_pow_tangent_analytic(self):
+        from ivp_tpu.core.common import _inv_pow
+        d = jnp.float64(2.0e21)  # d**2 would exceed the emulation range
+        r, dr = jax.jvp(lambda d: _inv_pow(d, 0.01, 0.2), (d,),
+                        (jnp.float64(1.0e21),))
+        np.testing.assert_allclose(float(r), float((0.01 / d) ** 0.2), rtol=0)
+        expect = -0.2 * float((0.01 / d) ** 0.2) * (1.0e21 / 2.0e21)
+        np.testing.assert_allclose(float(dr), expect, rtol=1e-12)
+
+    def test_tight_tolerance_jacfwd_finite(self):
+        # The chip repro config (rtol 1e-9 NaN'd pre-fix); on CPU this pins
+        # hinit's jvp path end-to-end against finite differences.
+        solver = build_ensemble_solver(vdp, "RK45", n=2)
+
+        def final_state(y0_lane):
+            return solver(y0_lane[None, :], 0.0, 3.0, 1e-12, 1e-14).y[0]
+
+        y0 = jnp.array([2.0, 0.0])
+        J = jax.jacfwd(final_state)(y0)
+        assert np.all(np.isfinite(np.asarray(J)))
+        eps = 1e-7
+        for j in range(2):
+            e = np.zeros(2)
+            e[j] = eps
+            fd = (np.asarray(final_state(y0 + e))
+                  - np.asarray(final_state(y0 - e))) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(J[:, j]), fd,
+                                       rtol=0, atol=1e-5)
