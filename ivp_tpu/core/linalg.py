@@ -262,8 +262,9 @@ def inv_complex(ar, ai):
 
     Closed-form complex adjugate for n <= 3 (split re/im arithmetic — no
     complex dtype, which varies across TPU generations); otherwise the
-    split-real 2n LU solved against the first n identity columns, whose
-    solution block-rows are exactly (Re, Im) of the complex inverse.
+    complex-pair LU (``lu_factor_cpair``: half the flops and half the
+    sequential depth of the former split-real 2n embedding) solved
+    multi-RHS against the identity.
     """
     ar = jnp.asarray(ar)
     ai = jnp.asarray(ai)
@@ -327,11 +328,10 @@ def inv_complex(ar, ai):
         br, bi = cdiv_by((adj_r, adj_i), dr, di)
         return (br * rescale, bi * rescale), sing
 
-    lu_piv, sing = lu_factor_complex(ar, ai)
-    eye_top = jnp.concatenate([jnp.eye(n, dtype=ar.dtype),
-                               jnp.zeros((n, n), ar.dtype)], axis=0)
-    x = _lu_solve_cols(lu_piv, eye_top)
-    return (x[:n, :], x[n:, :]), sing
+    lu_rep, sing = lu_factor_cpair(ar, ai)
+    br, bi = _lu_solve_cols_cpair(lu_rep, jnp.eye(n, dtype=ar.dtype),
+                                  jnp.zeros((n, n), ar.dtype))
+    return (br, bi), sing
 
 
 def solve_complex_inv(binv, br_, bi_):
@@ -450,6 +450,70 @@ def lu_factor_cpair(ar, ai):
         carry = lax.fori_loop(0, n, body, carry)
     lur, lui, P, sing = carry
     return (lur, lui, P), sing
+
+
+def _lu_solve_cols_cpair(lu_rep, Br, Bi):
+    """Multi-RHS complex-pair solve: A X = B for B of shape (n, m).
+
+    The masked substitutions of ``lu_solve_cpair`` broadcast over the column
+    axis — identical sequential depth to a single solve (cf.
+    ``_lu_solve_cols`` for the real case); used to form explicit complex
+    inverses (``inv_complex``) in one factorization + one n-deep sweep.
+    """
+    lur, lui, P = lu_rep
+    n = lur.shape[-1]
+    rows = jnp.arange(n)
+    dtype = lur.dtype
+
+    xr = jnp.sum(P[:, :, None] * jnp.asarray(Br)[None, :, :], axis=1)
+    xi = jnp.sum(P[:, :, None] * jnp.asarray(Bi)[None, :, :], axis=1)
+
+    def _row(m, mask):
+        return jnp.sum(jnp.where(mask[:, None], m, 0.0), axis=0)
+
+    def fwd(k, x):
+        xr, xi = x
+        is_k = rows == k
+        left = rows < k
+        lr = jnp.where(left, _row(lur, is_k), 0.0)[:, None]
+        li = jnp.where(left, _row(lui, is_k), 0.0)[:, None]
+        sr = jnp.sum(lr * xr - li * xi, axis=0)
+        si = jnp.sum(lr * xi + li * xr, axis=0)
+        f = is_k.astype(dtype)[:, None]
+        return xr - f * sr[None, :], xi - f * si[None, :]
+
+    def bwd(i, x):
+        xr, xi = x
+        k = n - 1 - i
+        is_k = rows == k
+        ur = _row(lur, is_k)
+        ui = _row(lui, is_k)
+        right = rows > k
+        ukr = jnp.where(right, ur, 0.0)[:, None]
+        uki = jnp.where(right, ui, 0.0)[:, None]
+        rr = (jnp.sum(jnp.where(is_k[:, None], xr, 0.0), axis=0)
+              - jnp.sum(ukr * xr - uki * xi, axis=0))
+        ri = (jnp.sum(jnp.where(is_k[:, None], xi, 0.0), axis=0)
+              - jnp.sum(ukr * xi + uki * xr, axis=0))
+        dr = jnp.sum(jnp.where(is_k, ur, 0.0))
+        di = jnp.sum(jnp.where(is_k, ui, 0.0))
+        den = dr * dr + di * di
+        den = jnp.where(den == 0.0, 1.0, den)
+        vr = (rr * dr + ri * di) / den
+        vi = (ri * dr - rr * di) / den
+        mask = is_k[:, None]
+        return (jnp.where(mask, vr[None, :], xr),
+                jnp.where(mask, vi[None, :], xi))
+
+    x = (xr, xi)
+    if n <= UNROLL_N:
+        for k in range(n):
+            x = fwd(k, x)
+        for i in range(n):
+            x = bwd(i, x)
+        return x
+    x = lax.fori_loop(0, n, fwd, x)
+    return lax.fori_loop(0, n, bwd, x)
 
 
 def lu_solve_cpair(lu_rep, br, bi):

@@ -104,7 +104,7 @@ def test_inv_matches_numpy(n, scale):
                                rtol=1e-10, atol=1e-10 / scale)
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 5])
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 24])
 @pytest.mark.parametrize("scale", [1.0, 1e9])
 def test_inv_complex_matches_numpy(n, scale):
     if n > 3 and scale != 1.0:
