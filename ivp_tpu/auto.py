@@ -1,0 +1,236 @@
+"""Automatic stiffness switching: ``method="auto"``.
+
+The reference inherits Hairer's stiffness detector in DOPRI5/DOP853
+(reference src/methods/dopri5.rs:363-391, dop853.rs:447-472) but stops the
+integration with Status::ProbablyStiff and leaves the restart to the user.
+``method="auto"`` closes that loop at the facade level — the LSODA idea,
+which SciPy ships but the reference deliberately removed (reference
+tests/test_ivp.py:1-19): integrate with a fast explicit method until its
+stiffness detector trips, then resume from the exact reached state with an
+implicit method, stitching t/y, events (terminal counts continue across the
+switch), counters and dense segments into one result.
+
+The switch is one-way (explicit -> implicit): like the reference, the
+implicit engines carry no nonstiffness detector.
+
+Configuration via ``solver_options``:
+
+* ``nonstiff_method`` ("RK45"/"DOP853", default "RK45") — must be a method
+  with a stiffness detector.
+* ``stiff_method`` ("Radau"/"BDF", default "Radau").
+* ``nonstiff_options`` / ``stiff_options`` — per-engine option dicts (e.g.
+  ``{"stiff_test": 100}`` to tighten the detector cadence).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .types import Status, canonical_method
+
+_DETECTOR_METHODS = ("DOPRI5", "DOP853")
+_IMPLICIT_METHODS = ("RADAU", "BDF")
+_TOL = 1e-12
+
+
+class _EventShim:
+    """Event wrapper for the post-switch phase.
+
+    Terminal counts continue across the switch: occurrences already recorded
+    in the explicit phase are subtracted from the terminal budget.  The
+    ``direction`` and in-device ``restart`` attributes pass through.
+    """
+
+    def __init__(self, f, seen: int):
+        self._f = f
+        self.direction = getattr(f, "direction", 0)
+        term = getattr(f, "terminal", False)
+        if term is True:
+            term = 1
+        if term:
+            # Phase 1 interrupts when the budget is reached, so seen < term.
+            self.terminal = max(int(term) - int(seen), 1)
+        else:
+            self.terminal = False
+        r = getattr(f, "restart", None)
+        if r is not None:
+            self.restart = r
+
+    def __call__(self, *args, **kwargs):
+        return self._f(*args, **kwargs)
+
+
+class CompositeOdeSolution:
+    """Piecewise continuous solution across method switches.
+
+    Same callable/strict surface as ``OdeSolution`` (extrapolating
+    ``__call__``; range-checked ``sol``/``sol_many``/``sol_span``); queries
+    dispatch to the phase whose span contains the time.
+    """
+
+    def __init__(self, sols, boundaries, forward: bool):
+        self._sols = list(sols)
+        self._bounds = np.asarray(boundaries, float)
+        self._forward = forward
+        self.t_min = min(s.t_min for s in self._sols)
+        self.t_max = max(s.t_max for s in self._sols)
+        self.n_segments = sum(s.n_segments for s in self._sols)
+
+    def __call__(self, t):
+        t_arr = np.asarray(t, dtype=float)
+        scalar = t_arr.ndim == 0
+        ts = np.atleast_1d(t_arr)
+        if self._forward:
+            idx = np.searchsorted(self._bounds, ts, side="right")
+        else:
+            idx = np.searchsorted(-self._bounds, -ts, side="right")
+        out: Optional[np.ndarray] = None
+        for k, s in enumerate(self._sols):
+            m = idx == k
+            if not np.any(m):
+                continue
+            ys = np.atleast_2d(s(ts[m]))
+            if out is None:
+                out = np.empty((ys.shape[0], ts.shape[0]))
+            out[:, m] = ys
+        assert out is not None
+        return out[:, 0] if scalar else out
+
+    # -- strict (range-checked) tier, mirroring OdeSolution --
+
+    def t_span(self):
+        return self.t_min, self.t_max
+
+    def _check_range(self, ts):
+        eps = 1e-12 * max(1.0, abs(self.t_min), abs(self.t_max))
+        bad = (ts < self.t_min - eps) | (ts > self.t_max + eps)
+        if np.any(bad):
+            t_bad = np.atleast_1d(ts)[np.atleast_1d(bad)][0]
+            raise ValueError(
+                f"t={t_bad} outside the solution span "
+                f"[{self.t_min}, {self.t_max}] (strict evaluation; use the "
+                f"callable form for SciPy-style extrapolation)")
+
+    def sol(self, t):
+        t_arr = np.asarray(t, dtype=float)
+        self._check_range(t_arr)
+        return self(t)
+
+    def sol_many(self, ts):
+        ts = np.asarray(ts, dtype=float)
+        self._check_range(ts)
+        return self(ts)
+
+    def sol_span(self, t_start, t_end, m):
+        ts = np.linspace(float(t_start), float(t_end), int(m))
+        self._check_range(ts)
+        return ts, self(ts)
+
+
+def solve_ivp_auto(fun, t_span, y0, *, solver_options=None, events=None,
+                   t_eval=None, dense_output=False, first_step=None,
+                   max_steps=None, **kw):
+    """``solve_ivp(method="auto")`` implementation; see module docstring."""
+    from .solve import solve_ivp
+
+    so = dict(solver_options or {})
+    nonstiff = canonical_method(so.pop("nonstiff_method", "RK45"))
+    stiff = canonical_method(so.pop("stiff_method", "Radau"))
+    ns_opts = so.pop("nonstiff_options", None)
+    st_opts = so.pop("stiff_options", None)
+    if so:
+        raise ValueError(
+            "method='auto' accepts solver_options keys 'nonstiff_method', "
+            "'stiff_method', 'nonstiff_options', 'stiff_options'; got "
+            f"{sorted(so)} — put per-engine options in nonstiff_options / "
+            "stiff_options")
+    if nonstiff not in _DETECTOR_METHODS:
+        raise ValueError(
+            f"nonstiff_method must be one of {_DETECTOR_METHODS} (methods "
+            f"with a stiffness detector); got {nonstiff!r}")
+    if stiff not in _IMPLICIT_METHODS:
+        raise ValueError(
+            f"stiff_method must be one of {_IMPLICIT_METHODS}; got {stiff!r}")
+
+    t0, tf = float(t_span[0]), float(t_span[1])
+    r1 = solve_ivp(fun, (t0, tf), y0, method=nonstiff, t_eval=t_eval,
+                   dense_output=dense_output, events=events,
+                   first_step=first_step, max_steps=max_steps,
+                   solver_options=ns_opts, **kw)
+    if r1.get("raw_status") != Status.PROBABLY_STIFF:
+        r1["methods"] = [nonstiff]
+        r1["t_switch"] = None
+        return r1
+
+    # -- switch: resume from the exact reached state with the stiff engine --
+    t_sw = float(r1.t_reached)
+    y_sw = np.asarray(r1.y_reached)
+    posneg = 1.0 if tf >= t0 else -1.0
+
+    ev2 = None
+    if events is not None:
+        ev_list = [events] if callable(events) else list(events)
+        ev2 = [_EventShim(e, len(r1.t_events[i]))
+               for i, e in enumerate(ev_list)]
+
+    te2 = None
+    if t_eval is not None:
+        te = np.atleast_1d(np.asarray(t_eval, dtype=float))
+        te2 = te[(te - t_sw) * posneg > _TOL]
+
+    ms2 = None
+    if max_steps is not None:
+        ms2 = max(int(max_steps) - int(r1.nstep), 1)
+
+    r2 = solve_ivp(fun, (t_sw, tf), y_sw, method=stiff, t_eval=te2,
+                   dense_output=dense_output, events=ev2, max_steps=ms2,
+                   solver_options=st_opts, **kw)
+    return _stitch(r1, r2, nonstiff, stiff, t_sw,
+                   has_t_eval=t_eval is not None, dense=dense_output,
+                   events_given=events is not None, forward=posneg > 0)
+
+
+def _stitch(r1, r2, m1, m2, t_sw, *, has_t_eval, dense, events_given,
+            forward):
+    from .solve import OdeResult
+
+    if has_t_eval:
+        # Phase-2 t_eval points were filtered strictly past t_sw: no overlap.
+        t = np.concatenate([r1.t, r2.t])
+        y = np.concatenate([r1.y, r2.y], axis=1)
+    else:
+        # r2 starts at exactly r1's reached point: drop the duplicate.
+        t = np.concatenate([r1.t, r2.t[1:]])
+        y = np.concatenate([r1.y, r2.y[:, 1:]], axis=1)
+
+    t_events = y_events = None
+    if events_given:
+        t_events = [np.concatenate([a, b])
+                    for a, b in zip(r1.t_events, r2.t_events)]
+        y_events = [np.concatenate([a, b], axis=0)
+                    for a, b in zip(r1.y_events, r2.y_events)]
+
+    sol = None
+    if dense:
+        sol = CompositeOdeSolution([r1.sol, r2.sol], [t_sw], forward)
+
+    ov1, ov2 = r1.get("event_overflow"), r2.get("event_overflow")
+    overflow = None
+    if ov1 is not None or ov2 is not None:
+        z = np.zeros(0, bool)
+        overflow = np.logical_or(
+            ov1 if ov1 is not None else z, ov2 if ov2 is not None else z)
+
+    return OdeResult(
+        t=t, y=y, sol=sol, t_events=t_events, y_events=y_events,
+        nfev=r1.nfev + r2.nfev, njev=r1.njev + r2.njev,
+        nlu=r1.nlu + r2.nlu, nstep=r1.nstep + r2.nstep,
+        naccpt=r1.naccpt + r2.naccpt, nrejct=r1.nrejct + r2.nrejct,
+        status=r2.status, message=r2.message, success=r2.success,
+        raw_status=r2.get("raw_status"),
+        t_reached=r2.get("t_reached"), y_reached=r2.get("y_reached"),
+        n_restarts=r1.get("n_restarts", 0) + r2.get("n_restarts", 0),
+        event_overflow=overflow,
+        methods=[m1, m2], t_switch=t_sw,
+    )

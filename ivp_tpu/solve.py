@@ -223,6 +223,18 @@ def solve_ivp(
     buffer (``event_capacity``) dropped occurrences.
     """
     del vectorized  # the RHS is traced; vectorization is inherent
+    if isinstance(method, str) and method.lower() == "auto":
+        # LSODA-analog automatic stiffness switching (ivp_tpu/auto.py).
+        from .auto import solve_ivp_auto
+        return solve_ivp_auto(
+            fun, t_span, y0, t_eval=t_eval, dense_output=dense_output,
+            events=events, args=args, rtol=rtol, atol=atol, jac=jac,
+            jac_sparsity=jac_sparsity, max_step=max_step, min_step=min_step,
+            first_step=first_step, max_steps=max_steps, mass=mass,
+            nind1=nind1, nind2=nind2, nind3=nind3, dtype=dtype,
+            time_dtype=time_dtype, chunk_steps=chunk_steps,
+            event_capacity=event_capacity, solver_options=solver_options,
+            max_restarts=max_restarts)
     if isinstance(dtype, str) and dtype.lower() in ("dd", "ddf32",
                                                     "doublefloat"):
         raise ValueError(
@@ -473,6 +485,13 @@ def solve_ivp(
         success=scipy_status >= 0,
         n_restarts=int(carry.n_restarts),
         event_overflow=event_overflow,
+        # Raw status + exact reached state: where the loop actually stopped
+        # (r.t[-1] is a sampled point under t_eval).  Feeds warm restarts and
+        # the method="auto" switcher (ivp_tpu/auto.py).
+        raw_status=status,
+        t_reached=float(carry.t),
+        y_reached=np.asarray(engine.lift(carry.y) if engine.lift
+                             else carry.y),
     )
 
 
@@ -584,6 +603,7 @@ def _zero_interval_result(method, t0, y0_arr, t_eval_arr, dense_output,
         t=ts, y=y, sol=sol, t_events=t_events, y_events=y_events,
         nfev=0, njev=0, nlu=0, nstep=0, naccpt=0, nrejct=0,
         status=0, message=scipy_message(Status.SUCCESS), success=True,
+        raw_status=Status.SUCCESS, t_reached=t0, y_reached=y0_np,
     )
 
 
@@ -604,5 +624,6 @@ def _empty_system_result(method, t0, tf, t_eval_arr, dense_output,
         t_events=t_events, y_events=y_events,
         nfev=0, njev=0, nlu=0, nstep=0, naccpt=0, nrejct=0,
         status=0, message=scipy_message(Status.SUCCESS), success=True,
+        raw_status=Status.SUCCESS, t_reached=tf, y_reached=np.zeros((0,)),
     )
 

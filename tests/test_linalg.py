@@ -193,6 +193,33 @@ def test_linear_mode_equivalence(method):
 
 
 @pytest.mark.parametrize("method", ["Radau", "BDF"])
+def test_linear_mode_equivalence_midsize(method):
+    """Same check at n=12 — past the closed-form adjugate window, so the
+    inverse backend goes through the multi-RHS LU substitution path
+    (real for BDF, complex-pair for Radau's E2)."""
+    from ivp_tpu import solve_ivp
+
+    n = 12
+    rng = np.random.default_rng(3)
+    A = np.diag(-np.linspace(1.0, 40.0, n))
+    A += 0.5 * rng.standard_normal((n, n)) / n
+    Aj = jnp.asarray(A)
+
+    def rhs(t, y):
+        return Aj @ y + 0.1 * jnp.sin(y)
+
+    y0 = np.linspace(0.5, 1.5, n)
+    ri = solve_ivp(rhs, (0.0, 5.0), y0, method=method, rtol=1e-7, atol=1e-9,
+                   solver_options={"linear_mode": "inverse"})
+    rl = solve_ivp(rhs, (0.0, 5.0), y0, method=method, rtol=1e-7, atol=1e-9,
+                   solver_options={"linear_mode": "lu"})
+    assert ri.success and rl.success
+    np.testing.assert_allclose(np.asarray(ri.y[:, -1]),
+                               np.asarray(rl.y[:, -1]), rtol=1e-7, atol=1e-12)
+    assert abs(int(ri.nstep) - int(rl.nstep)) <= 2
+
+
+@pytest.mark.parametrize("method", ["Radau", "BDF"])
 def test_mixed_precision_newton(method):
     """newton_precision='mixed' (f32 factor/solves, f64 state/residuals)
     matches the full-precision result far inside the solver tolerance and
