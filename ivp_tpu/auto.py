@@ -128,12 +128,8 @@ class CompositeOdeSolution:
         return ts, self(ts)
 
 
-def solve_ivp_auto(fun, t_span, y0, *, solver_options=None, events=None,
-                   t_eval=None, dense_output=False, first_step=None,
-                   max_steps=None, **kw):
-    """``solve_ivp(method="auto")`` implementation; see module docstring."""
-    from .solve import solve_ivp
-
+def _parse_auto_options(solver_options):
+    """Split ``solver_options`` into (nonstiff, stiff, ns_opts, st_opts)."""
     so = dict(solver_options or {})
     nonstiff = canonical_method(so.pop("nonstiff_method", "RK45"))
     stiff = canonical_method(so.pop("stiff_method", "Radau"))
@@ -152,6 +148,16 @@ def solve_ivp_auto(fun, t_span, y0, *, solver_options=None, events=None,
     if stiff not in _IMPLICIT_METHODS:
         raise ValueError(
             f"stiff_method must be one of {_IMPLICIT_METHODS}; got {stiff!r}")
+    return nonstiff, stiff, ns_opts, st_opts
+
+
+def solve_ivp_auto(fun, t_span, y0, *, solver_options=None, events=None,
+                   t_eval=None, dense_output=False, first_step=None,
+                   max_steps=None, **kw):
+    """``solve_ivp(method="auto")`` implementation; see module docstring."""
+    from .solve import solve_ivp
+
+    nonstiff, stiff, ns_opts, st_opts = _parse_auto_options(solver_options)
 
     t0, tf = float(t_span[0]), float(t_span[1])
     r1 = solve_ivp(fun, (t0, tf), y0, method=nonstiff, t_eval=t_eval,
@@ -189,6 +195,150 @@ def solve_ivp_auto(fun, t_span, y0, *, solver_options=None, events=None,
     return _stitch(r1, r2, nonstiff, stiff, t_sw,
                    has_t_eval=t_eval is not None, dense=dense_output,
                    events_given=events is not None, forward=posneg > 0)
+
+
+def _gather_rows(v, idx, B, n):
+    """Gather sub-batch rows of a per-lane array; pass shared values through
+    (mirrors batch._norm_tol's per-lane detection)."""
+    a = np.asarray(v)
+    if a.ndim == 1 and a.shape[0] == B and B != n:
+        return a[idx]
+    if a.ndim == 2 and a.shape[0] == B:
+        return a[idx]
+    return v
+
+
+def solve_ivp_ensemble_auto(fun, t_span, y0_batch, *, rtol=1e-3, atol=1e-6,
+                            solver_options=None, t_eval=None,
+                            dense_output=False, record_trajectories=False,
+                            first_step=None, chunk_steps=16384,
+                            events=None, max_restarts=0, **kw):
+    """Batched ``method="auto"``: per-lane stiffness routing.
+
+    The LSODA analog over the ensemble axis — the TPU-native version of the
+    reference's per-problem ProbablyStiff stop (src/methods/dopri5.rs:363-391):
+    the whole batch runs the explicit engine in lock-step; lanes whose
+    detector trips end with PROBABLY_STIFF while the rest finish normally,
+    and only the tripped lanes are re-launched with the stiff engine from
+    their exact reached (t, y).  Continuity across the switch is exact
+    because the fresh stiff carry is pre-loaded with each lane's phase-1
+    state: event terminal budgets and occurrence buffers, the monotone
+    t_eval sample cursor, step/eval counters (so ``max_steps`` spans both
+    phases) and restart counts all continue.
+
+    Returns an :class:`ivp_tpu.batch.EnsembleResult` whose ``switched``
+    field marks the resumed lanes.  Same ``solver_options`` surface as the
+    single-IVP ``method="auto"``.
+    """
+    import jax.numpy as jnp
+    from .batch import (EnsembleResult, build_resumable_solver,
+                        _ENSEMBLE_CACHE, _hashable)
+
+    if dense_output or record_trajectories:
+        raise NotImplementedError(
+            "method='auto' in the ensemble tier supports final-state, "
+            "t_eval-sample and event outputs; use a fixed method for "
+            "per-step trajectory recording / batched dense output")
+    nonstiff, stiff, ns_opts, st_opts = _parse_auto_options(solver_options)
+
+    y0_batch = np.atleast_2d(np.asarray(y0_batch))
+    B, n = y0_batch.shape
+    t0, tf = float(t_span[0]), float(t_span[1])
+    if n == 0:
+        # Empty system: nothing can be stiff; take the ensemble fast path.
+        from .batch import solve_ivp_ensemble
+        r = solve_ivp_ensemble(fun, t_span, y0_batch, method=nonstiff,
+                               rtol=rtol, atol=atol, **kw)
+        return r._replace(switched=np.zeros(B, bool))
+
+    def build(method, opts, te, key_extra):
+        key = ("ensemble-auto", method, n, str(kw.get("dtype")),
+               _hashable(fun), tuple(_hashable(a) for a in kw.get("args", ())),
+               _hashable(kw.get("jac")), _hashable(kw.get("jac_sparsity")),
+               kw.get("max_steps", 100_000), first_step is not None,
+               tuple(_hashable(e) for e in (events or [])),
+               kw.get("event_capacity", 16), chunk_steps,
+               (np.asarray(te, float).shape, np.asarray(te, float).tobytes())
+               if te is not None else None,
+               tuple(sorted((k2, _hashable(v))
+                            for k2, v in (opts or {}).items())),
+               max_restarts, str(kw.get("time_dtype")),
+               kw.get("max_step"), kw.get("min_step", 0.0), key_extra)
+        return _ENSEMBLE_CACHE.get_or_build(
+            key, lambda: build_resumable_solver(
+                fun, method, n=n, chunk_steps=chunk_steps, t_eval=te,
+                events=events, max_restarts=max_restarts,
+                first_step=first_step if key_extra == "p1" else None,
+                solver_options=opts, **kw))
+
+    def run(start, resume, extract, y0b, t0b, rt, at, preload=None):
+        carry, ra = start(y0b, t0b, tf, rt, at)
+        if preload is not None:
+            carry = preload(carry)
+        while True:
+            carry = resume(carry, ra)
+            if bool(np.all(np.asarray(carry.done))):
+                break
+        return carry, extract(carry)
+
+    # -- phase 1: the whole batch on the explicit engine --
+    c1, res1 = run(*build(nonstiff, ns_opts, t_eval, "p1"),
+                   y0_batch, t0, rtol, atol)
+    trip = np.asarray(res1.status) == int(Status.PROBABLY_STIFF)
+    if not trip.any():
+        return res1._replace(switched=np.zeros(B, bool))
+
+    # -- phase 2: tripped lanes only, resumed from their reached states --
+    idx = np.nonzero(trip)[0]
+    y_sub = np.asarray(res1.y)[idx]
+    t_sub = np.asarray(res1.t)[idx]
+    te_sub = t_eval
+    if t_eval is not None:
+        te_arr = np.asarray(t_eval, float)
+        if te_arr.ndim == 2:         # per-lane grids travel with their lanes
+            te_sub = te_arr[idx]
+    rt_sub = _gather_rows(rtol, idx, B, n)
+    at_sub = _gather_rows(atol, idx, B, n)
+
+    def preload(c2):
+        """Pre-load the fresh stiff carry with phase-1 continuation state."""
+        g = lambda a: jnp.asarray(np.asarray(a)[idx])  # noqa: E731
+        c2 = c2._replace(
+            nfev=c2.nfev + g(c1.nfev), njev=c2.njev + g(c1.njev),
+            nlu=c2.nlu + g(c1.nlu), nstep=c2.nstep + g(c1.nstep),
+            naccpt=c2.naccpt + g(c1.naccpt),
+            nrejct=c2.nrejct + g(c1.nrejct),
+            n_restarts=c2.n_restarts + g(c1.n_restarts))
+        if events:
+            # Terminal budgets (hits) and occurrence buffers continue; the
+            # event values g_prev stay the fresh init's (evaluated at the
+            # switch point — identical to phase 1's last accepted point).
+            c2 = c2._replace(ev=c2.ev._replace(
+                hits=g(c1.ev.hits), n_rec=g(c1.ev.n_rec),
+                t_buf=g(c1.ev.t_buf), y_buf=g(c1.ev.y_buf),
+                overflow=g(c1.ev.overflow)))
+        if t_eval is not None:
+            c2 = c2._replace(s_cursor=g(c1.s_cursor),
+                             sample_y=g(c1.sample_y))
+        return c2
+
+    _, res2 = run(*build(stiff, st_opts, te_sub, "p2"),
+                  y_sub, t_sub, rt_sub, at_sub, preload=preload)
+
+    # -- scatter the resumed lanes back into the batch result --
+    def scat(base, sub):
+        if base is None or sub is None:
+            return base
+        a = np.asarray(base).copy()
+        a[idx] = np.asarray(sub)
+        return a
+
+    merged = {f: scat(getattr(res1, f), getattr(res2, f))
+              for f in ("t", "y", "status", "nfev", "nstep", "naccpt",
+                        "nrejct", "t_events", "y_events", "n_events",
+                        "y_samples", "n_samples", "n_restarts",
+                        "event_overflow")}
+    return EnsembleResult(**merged, switched=trip)
 
 
 def _stitch(r1, r2, m1, m2, t_sw, *, has_t_eval, dense, events_given,

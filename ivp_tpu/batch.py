@@ -90,6 +90,8 @@ class EnsembleResult(NamedTuple):
     n_restarts: Any = None  # (B,) int32 in-device event restarts performed
     event_overflow: Any = None  # (B, E) bool — event occurrences were dropped
     #                             because the fixed-capacity buffer filled
+    switched: Any = None  # (B,) bool — lane resumed with the stiff engine
+    #                       (method="auto"; ivp_tpu/auto.py)
     ts: Any = None        # (B, S) recorded per-step times (dense/trajectory mode)
     ys: Any = None        # (B, S, n) recorded per-step states
     n_steps_rec: Any = None  # (B,) int32 valid rows in ts/ys
@@ -483,15 +485,19 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         else:
             y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
+        # t0 may be a scalar or a (B,) array of per-lane start times (the
+        # method="auto" stiff resume restarts each tripped lane from its own
+        # reached time, ivp_tpu/auto.py).
+        t0_arr = np.atleast_1d(np.asarray(t0, float))
         if sample_grid is not None:
-            d = np.sign(float(tf) - float(t0)) or 1.0
+            d = np.sign(float(tf) - float(t0_arr.ravel()[0])) or 1.0
             if np.any(np.diff(sample_grid * d, axis=-1) < 0):
                 raise ValueError("t_eval must be sorted in integration direction")
         rtol_v, _ = _norm_tol(rtol, B, n, dtype, "rtol")
         atol_v, _ = _norm_tol(atol, B, n, dtype, "atol")
         grid = (jnp.asarray(sample_grid, tdt)
                 if sample_grid is not None else None)
-        hmax = abs(float(tf) - float(t0))
+        hmax = float(np.max(np.abs(float(tf) - t0_arr)))
         if max_step is not None:
             hmax = min(hmax, abs(float(max_step)))
         ra = RunArgs(
@@ -568,7 +574,26 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     final states come back as f64, recorded trajectories / dense output /
     event states are the f32 views of the dd state, and all time axes
     (step endpoints, event times, sample grids) keep f64 resolution.
+
+    ``method="auto"``: per-lane stiffness routing (the batched LSODA
+    analog, ivp_tpu/auto.py) — the whole batch integrates with the
+    explicit method; lanes whose stiffness detector trips are resumed
+    with the stiff engine from their exact reached states, with event
+    terminal budgets, sample cursors and counters continuing across the
+    switch.  ``result.switched`` marks the resumed lanes.
     """
+    if isinstance(method, str) and method.lower() == "auto":
+        from .auto import solve_ivp_ensemble_auto
+        return solve_ivp_ensemble_auto(
+            fun, t_span, y0_batch, rtol=rtol, atol=atol, args=args, jac=jac,
+            jac_sparsity=jac_sparsity, max_steps=max_steps,
+            first_step=first_step, max_step=max_step, min_step=min_step,
+            dtype=dtype, events=events, event_capacity=event_capacity,
+            t_eval=t_eval, chunk_steps=chunk_steps,
+            solver_options=solver_options, max_restarts=max_restarts,
+            dense_output=dense_output,
+            record_trajectories=record_trajectories,
+            time_dtype=time_dtype)
     y0_batch = np.atleast_2d(np.asarray(y0_batch))
     n = y0_batch.shape[1]
     record = bool(dense_output or record_trajectories)

@@ -145,3 +145,136 @@ def test_auto_bdf_stiff_phase():
     np.testing.assert_allclose(np.asarray(r.y[:, -1]),
                                np.asarray(ref.y[:, -1]), rtol=5e-3,
                                atol=1e-10)
+
+
+# =============================================================================
+# Ensemble tier: per-lane stiffness routing (solve_ivp_ensemble_auto)
+# =============================================================================
+
+def rober_k(t, y):
+    """Robertson with the third rate carried as a constant 4th state —
+    per-lane stiffness from y0 alone (k3' = 0)."""
+    k3 = y[3]
+    return jnp.array([-0.04 * y[0] + 1e4 * y[1] * y[2],
+                      0.04 * y[0] - 1e4 * y[1] * y[2] - k3 * y[1] ** 2,
+                      k3 * y[1] ** 2,
+                      0.0 * y[3]])
+
+
+def test_ensemble_auto_routes_only_tripped_lanes():
+    """Mixed batch: stiff lanes (k3=3e7) trip and resume with Radau; benign
+    lanes (k3=10) finish explicit-only — per-lane routing, not whole-batch."""
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    y0 = np.array([[1.0, 0.0, 0.0, 3e7]] * 3 + [[1.0, 0.0, 0.0, 10.0]] * 3)
+    r = solve_ivp_ensemble(rober_k, (0.0, 50.0), y0, method="auto",
+                           rtol=1e-4, atol=1e-8)
+    sw = np.asarray(r.switched)
+    assert sw[:3].all() and not sw[3:].any()
+    assert np.all(np.asarray(r.status) == 0)
+    # Stiff lanes match Radau end states; benign lanes match plain DOPRI5.
+    r_st = solve_ivp_ensemble(rober_k, (0.0, 50.0), y0[:3], method="Radau",
+                              rtol=1e-4, atol=1e-8)
+    r_ns = solve_ivp_ensemble(rober_k, (0.0, 50.0), y0[3:], method="RK45",
+                              rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(r.y)[:3, :3],
+                               np.asarray(r_st.y)[:, :3], rtol=5e-3,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r.y)[3:, :3],
+                               np.asarray(r_ns.y)[:, :3], rtol=1e-6)
+
+
+def test_ensemble_auto_matches_per_lane_single_auto():
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    B = 6
+    rng = np.random.default_rng(0)
+    y0 = np.tile([1.0, 0.0, 0.0], (B, 1)) + 1e-3 * rng.random((B, 3))
+    y0[:, 1:] = 0.0
+    r = solve_ivp_ensemble(rober, (0.0, 50.0), y0, method="auto",
+                           rtol=1e-4, atol=1e-8)
+    assert np.all(np.asarray(r.status) == 0)
+    assert np.all(np.asarray(r.switched))  # Robertson trips on every lane
+    # Each lane agrees with the single-IVP auto result to solver accuracy.
+    for i in range(B):
+        ri = solve_ivp(rober, (0.0, 50.0), y0[i], method="auto",
+                       rtol=1e-4, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r.y[i]),
+                                   np.asarray(ri.y[:, -1]),
+                                   rtol=2e-3, atol=1e-9)
+    # Counters continued across the switch: far more than the stiff phase
+    # alone, and bounded by a pure-explicit integration budget.
+    assert np.all(np.asarray(r.nstep) > 1000)      # explicit phase included
+    assert np.all(np.asarray(r.nstep) < 3000)
+
+
+def test_ensemble_auto_nonstiff_no_switch():
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    y0 = np.linspace(1.0, 2.0, 5)[:, None]
+    r = solve_ivp_ensemble(lambda t, y: -0.5 * y, (0.0, 10.0), y0,
+                           method="auto", rtol=1e-8, atol=1e-10)
+    assert np.all(np.asarray(r.status) == 0)
+    assert not np.any(np.asarray(r.switched))
+    np.testing.assert_allclose(np.asarray(r.y[:, 0]),
+                               y0[:, 0] * np.exp(-5.0), rtol=1e-7)
+
+
+def test_ensemble_auto_samples_and_events_continue():
+    """t_eval samples and event budgets span the switch per lane."""
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    B = 4
+    y0 = np.tile([1.0, 0.0, 0.0], (B, 1))
+    te = np.concatenate([np.linspace(0.01, 0.05, 3),
+                         np.linspace(5.0, 50.0, 5)])
+
+    def ev(t, y):
+        return y[1] - 2e-5
+
+    r = solve_ivp_ensemble(rober, (0.0, 50.0), y0, method="auto",
+                           t_eval=te, events=[ev], rtol=1e-4, atol=1e-8)
+    assert np.all(np.asarray(r.switched))
+    assert np.all(np.asarray(r.n_samples) == len(te))
+    # Sample values match the single-IVP auto dense output.
+    ri = solve_ivp(rober, (0.0, 50.0), y0[0], method="auto", t_eval=te,
+                   events=ev, rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(r.y_samples[0]),
+                               np.asarray(ri.y).T, rtol=2e-3, atol=1e-9)
+    # Two crossings of y1=2e-5: one in the explicit phase (rise), one in
+    # the stiff phase (decay) — the buffers continued across the switch.
+    assert np.all(np.asarray(r.n_events)[:, 0] == 2)
+    t_ev = np.asarray(r.t_events)[:, 0]
+    assert np.all(t_ev[:, 0] < 1.0)
+    assert np.all(t_ev[:, 1] > 1.0)
+    np.testing.assert_allclose(t_ev[0, :2], np.asarray(ri.t_events[0]),
+                               rtol=1e-2)
+
+
+def test_ensemble_auto_terminal_budget_spans_switch():
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    B = 3
+    y0 = np.tile([1.0, 0.0, 0.0], (B, 1))
+
+    def ev(t, y):
+        return y[1] - 2e-5
+    ev.terminal = 2
+
+    r = solve_ivp_ensemble(rober, (0.0, 50.0), y0, method="auto",
+                           events=[ev], rtol=1e-4, atol=1e-8)
+    assert np.all(np.asarray(r.switched))
+    # Budget of 2 spans the switch: terminated in the stiff phase at the
+    # 2nd crossing, not the 3rd-or-later.
+    assert np.all(np.asarray(r.n_events)[:, 0] == 2)
+    assert np.all(np.asarray(r.t) < 50.0)
+    ref = solve_ivp(rober, (0.0, 50.0), y0[0], method="auto", events=ev,
+                    rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(float(r.t[0]), float(ref.t[-1]), rtol=1e-2)
+
+
+def test_ensemble_auto_dense_output_rejected():
+    from ivp_tpu.batch import solve_ivp_ensemble
+    with pytest.raises(NotImplementedError):
+        solve_ivp_ensemble(rober, (0.0, 1.0), [[1.0, 0.0, 0.0]],
+                           method="auto", dense_output=True)
