@@ -29,7 +29,20 @@ from jax import lax
 # sequential fori_loops of tiny masked updates dominate wall-clock for the
 # small systems typical of IVP ensembles, and unrolled bodies (with static k)
 # let XLA simplify the masks into slices and fuse across iterations.
-UNROLL_N = 16
+# Beyond the threshold, substitutions run as lax.scan over pre-masked rows
+# (O(n) per step) and the factorization as a fori_loop.
+# The threshold is dtype-dependent (measured Radau attempt at B=4096, TPU
+# v5e, docs/BENCH.md mid-size table): f32 bodies stay cheap when inlined
+# (n=32 mixed-Newton attempt 20 ms unrolled vs 51 ms scanned) but lose by
+# n=64 (37 vs 30 ms); emulated-f64 bodies bloat the op count quickly, so
+# f64 keeps the smaller window (n=32 full-Newton: 75 ms scanned vs 108 ms
+# unrolled).
+UNROLL_N = 16        # f64 / default
+UNROLL_N_F32 = 32    # f32 factorizations (mixed/dd Newton, f32 state)
+
+
+def _unroll_n(dtype):
+    return UNROLL_N_F32 if dtype == jnp.float32 else UNROLL_N
 
 
 def lu_factor(a):
@@ -71,13 +84,18 @@ def lu_factor(a):
         lu = swap(lu, rowk, rowp)
         P = swap(P, _row(P, is_k), _row(P, is_p))
 
-        colk2 = jnp.sum(jnp.where(rows[None, :] == k, lu, 0.0), axis=1)
-        pivval = jnp.sum(jnp.where(is_k, colk2, 0.0))
+        # Post-swap column k and pivot row derive in O(n) from the pre-swap
+        # extractions (same values — the swap only exchanged entries k,p),
+        # saving two O(n^2) masked reductions per pivot step.
+        ck = jnp.sum(jnp.where(is_k, colk, 0.0))
+        cp = jnp.sum(jnp.where(is_p, colk, 0.0))
+        colk2 = colk + fk * (cp - ck) + fp * (ck - cp)
+        pivval = cp
         sing = sing | (pivval == 0.0) | ~jnp.isfinite(pivval)
         denom = jnp.where(pivval == 0.0, 1.0, pivval)
 
         factors = jnp.where(rows > k, colk2 / denom, 0.0)
-        urow = _row(lu, is_k)  # pivot row after swap
+        urow = jnp.where(p == k, rowk, rowp)  # pivot row after swap
         upper = jnp.where(rows[None, :] > k, urow[None, :], 0.0)
         lu = lu - factors[:, None] * upper
         # store multipliers in column k below the diagonal
@@ -88,7 +106,7 @@ def lu_factor(a):
     lu0 = jnp.asarray(a)
     P0 = jnp.eye(n, dtype=dtype)
     sing0 = jnp.zeros((), bool)
-    if n <= UNROLL_N:
+    if n <= _unroll_n(dtype):
         carry = (lu0, P0, sing0)
         for k in range(n):
             carry = body(k, carry)
@@ -98,9 +116,28 @@ def lu_factor(a):
     return (lu, P), sing
 
 
+def _strict_parts(lu):
+    """(strictly-lower L, strictly-upper U, diag) of the packed LU — three
+    O(n^2) masked selects hoisted OUT of the substitution recurrences."""
+    n = lu.shape[-1]
+    rows = jnp.arange(n)
+    below = rows[:, None] > rows[None, :]
+    eye = rows[:, None] == rows[None, :]
+    L = jnp.where(below, lu, 0.0)
+    U = jnp.where(below | eye, 0.0, lu)
+    diag = jnp.sum(jnp.where(eye, lu, 0.0), axis=-1)
+    return L, U, diag
+
+
 def lu_solve(lu_piv, b):
-    """Solve A x = b given ``lu_factor`` output (permutation matmul + masked
-    forward/back substitution; O(n^2) vectorized work, no dynamic indexing)."""
+    """Solve A x = b given ``lu_factor`` output (permutation matmul +
+    scan-based forward/back substitution).
+
+    For n > UNROLL_N the substitutions run as ``lax.scan`` over the
+    pre-masked rows of L/U: the scan feeds row k to step k directly, so each
+    step is O(n) work — versus the masked fori_loop form whose traced-k row
+    extraction costs O(n^2) per step (the dominant mid-size stiff-ensemble
+    cost before this change, docs/BENCH.md mid-size table)."""
     lu, P = lu_piv
     n = lu.shape[-1]
     rows = jnp.arange(n)
@@ -127,14 +164,28 @@ def lu_solve(lu_piv, b):
         val = (jnp.sum(jnp.where(is_k, x, 0.0)) - jnp.sum(uk * x)) / diag
         return jnp.where(is_k, val, x)
 
-    if n <= UNROLL_N:
+    if n <= _unroll_n(dtype):
         for k in range(n):
             x = fwd(k, x)
         for i in range(n):
             x = bwd(i, x)
         return x
-    x = lax.fori_loop(0, n, fwd, x)
-    return lax.fori_loop(0, n, bwd, x)
+
+    L, U, diag = _strict_parts(lu)
+    onehot = jnp.eye(n, dtype=dtype)
+
+    def fwd_s(x, inp):
+        lrow, ek = inp
+        return x - ek * jnp.sum(lrow * x), None
+
+    def bwd_s(x, inp):
+        urow, ek, d = inp
+        val = (jnp.sum(ek * x) - jnp.sum(urow * x)) / d
+        return jnp.where(ek != 0.0, val, x), None
+
+    x, _ = lax.scan(fwd_s, x, (L, onehot))
+    x, _ = lax.scan(bwd_s, x, (U, onehot, diag), reverse=True)
+    return x
 
 
 def _lu_solve_cols(lu_piv, bcols):
@@ -168,14 +219,30 @@ def _lu_solve_cols(lu_piv, bcols):
                - jnp.sum(uk[:, None] * x, axis=0)) / diag
         return jnp.where(is_k[:, None], val[None, :], x)
 
-    if n <= UNROLL_N:
+    if n <= _unroll_n(dtype):
         for k in range(n):
             x = fwd(k, x)
         for i in range(n):
             x = bwd(i, x)
         return x
-    x = lax.fori_loop(0, n, fwd, x)
-    return lax.fori_loop(0, n, bwd, x)
+
+    # lax.scan over pre-masked rows: O(n) per step (see lu_solve).
+    L, U, diag = _strict_parts(lu)
+    onehot = jnp.eye(n, dtype=dtype)
+
+    def fwd_s(x, inp):
+        lrow, ek = inp
+        return x - ek[:, None] * jnp.sum(lrow[:, None] * x, axis=0)[None, :], None
+
+    def bwd_s(x, inp):
+        urow, ek, d = inp
+        val = (jnp.sum(ek[:, None] * x, axis=0)
+               - jnp.sum(urow[:, None] * x, axis=0)) / d
+        return jnp.where((ek != 0.0)[:, None], val[None, :], x), None
+
+    x, _ = lax.scan(fwd_s, x, (L, onehot))
+    x, _ = lax.scan(bwd_s, x, (U, onehot, diag), reverse=True)
+    return x
 
 
 def matvec(a, x):
@@ -390,8 +457,9 @@ def lu_factor_cpair(ar, ai):
 
     def body(k, carry):
         lur, lui, P, sing = carry
-        mag = jnp.where(rows >= k,
-                        jnp.abs(_col(lur, k)) + jnp.abs(_col(lui, k)), -1.0)
+        colr0 = _col(lur, k)
+        coli0 = _col(lui, k)
+        mag = jnp.where(rows >= k, jnp.abs(colr0) + jnp.abs(coli0), -1.0)
         p = jnp.argmax(mag)
 
         is_k = rows == k
@@ -403,16 +471,21 @@ def lu_factor_cpair(ar, ai):
             rk = _row(m, is_k)
             rp = _row(m, is_p)
             return (m - fk[:, None] * (rk - rp)[None, :]
-                      - fp[:, None] * (rp - rk)[None, :])
+                      - fp[:, None] * (rp - rk)[None, :]), rk, rp
 
-        lur = swap(lur)
-        lui = swap(lui)
-        P = swap(P)
+        lur, rk_r, rp_r = swap(lur)
+        lui, rk_i, rp_i = swap(lui)
+        P, _, _ = swap(P)
 
-        colr = _col(lur, k)
-        coli = _col(lui, k)
-        piv_r = jnp.sum(jnp.where(is_k, colr, 0.0))
-        piv_i = jnp.sum(jnp.where(is_k, coli, 0.0))
+        # Post-swap column k / pivot row derive in O(n) from the pre-swap
+        # extractions (cf. lu_factor): 4 fewer O(n^2) reductions per step.
+        def _exch(col):
+            ck = jnp.sum(jnp.where(is_k, col, 0.0))
+            cp = jnp.sum(jnp.where(is_p, col, 0.0))
+            return col + fk * (cp - ck) + fp * (ck - cp), cp
+
+        colr, piv_r = _exch(colr0)
+        coli, piv_i = _exch(coli0)
         pmag = jnp.abs(piv_r) + jnp.abs(piv_i)
         sing = sing | (pmag == 0.0) | ~jnp.isfinite(pmag)
         # complex reciprocal of the pivot (den guarded when singular)
@@ -427,8 +500,8 @@ def lu_factor_cpair(ar, ai):
         fac_r = fr * inv_r - fi * inv_i
         fac_i = fr * inv_i + fi * inv_r
 
-        ur = _row(lur, is_k)
-        ui = _row(lui, is_k)
+        ur = jnp.where(p == k, rk_r, rp_r)
+        ui = jnp.where(p == k, rk_i, rp_i)
         right = rows[None, :] > k
         ur_u = jnp.where(right, ur[None, :], 0.0)
         ui_u = jnp.where(right, ui[None, :], 0.0)
@@ -443,7 +516,7 @@ def lu_factor_cpair(ar, ai):
 
     carry = (jnp.asarray(ar), jnp.asarray(ai), jnp.eye(n, dtype=dtype),
              jnp.zeros((), bool))
-    if n <= UNROLL_N:
+    if n <= _unroll_n(dtype):
         for k in range(n):
             carry = body(k, carry)
     else:
@@ -506,14 +579,45 @@ def _lu_solve_cols_cpair(lu_rep, Br, Bi):
                 jnp.where(mask, vi[None, :], xi))
 
     x = (xr, xi)
-    if n <= UNROLL_N:
+    if n <= _unroll_n(dtype):
         for k in range(n):
             x = fwd(k, x)
         for i in range(n):
             x = bwd(i, x)
         return x
-    x = lax.fori_loop(0, n, fwd, x)
-    return lax.fori_loop(0, n, bwd, x)
+
+    # lax.scan over pre-masked rows: O(n) per step (see lu_solve).
+    Lr, Ur, dr_ = _strict_parts(lur)
+    Li, Ui, di_ = _strict_parts(lui)
+    onehot = jnp.eye(n, dtype=dtype)
+    den_ = dr_ * dr_ + di_ * di_
+    den_ = jnp.where(den_ == 0.0, 1.0, den_)
+
+    def fwd_s(x, inp):
+        xr, xi = x
+        lr, li, ek = inp
+        sr = jnp.sum(lr[:, None] * xr - li[:, None] * xi, axis=0)
+        si = jnp.sum(lr[:, None] * xi + li[:, None] * xr, axis=0)
+        f = ek[:, None]
+        return (xr - f * sr[None, :], xi - f * si[None, :]), None
+
+    def bwd_s(x, inp):
+        xr, xi = x
+        ur, ui, ek, dr, di, den = inp
+        rr = (jnp.sum(ek[:, None] * xr, axis=0)
+              - jnp.sum(ur[:, None] * xr - ui[:, None] * xi, axis=0))
+        ri = (jnp.sum(ek[:, None] * xi, axis=0)
+              - jnp.sum(ur[:, None] * xi + ui[:, None] * xr, axis=0))
+        vr = (rr * dr + ri * di) / den
+        vi = (ri * dr - rr * di) / den
+        m = (ek != 0.0)[:, None]
+        return (jnp.where(m, vr[None, :], xr),
+                jnp.where(m, vi[None, :], xi)), None
+
+    x, _ = lax.scan(fwd_s, x, (Lr, Li, onehot))
+    x, _ = lax.scan(bwd_s, x, (Ur, Ui, onehot, dr_, di_, den_),
+                    reverse=True)
+    return x
 
 
 def lu_solve_cpair(lu_rep, br, bi):
@@ -560,11 +664,38 @@ def lu_solve_cpair(lu_rep, br, bi):
         return (jnp.where(is_k, vr, xr), jnp.where(is_k, vi, xi))
 
     x = (xr, xi)
-    if n <= UNROLL_N:
+    if n <= _unroll_n(dtype):
         for k in range(n):
             x = fwd(k, x)
         for i in range(n):
             x = bwd(i, x)
         return x
-    x = lax.fori_loop(0, n, fwd, x)
-    return lax.fori_loop(0, n, bwd, x)
+
+    # lax.scan over pre-masked rows: O(n) per step (see lu_solve).
+    Lr, Ur, dr_ = _strict_parts(lur)
+    Li, Ui, di_ = _strict_parts(lui)
+    onehot = jnp.eye(n, dtype=dtype)
+    den_ = dr_ * dr_ + di_ * di_
+    den_ = jnp.where(den_ == 0.0, 1.0, den_)
+
+    def fwd_s(x, inp):
+        xr, xi = x
+        lr, li, ek = inp
+        sr = jnp.sum(lr * xr - li * xi)
+        si = jnp.sum(lr * xi + li * xr)
+        return (xr - ek * sr, xi - ek * si), None
+
+    def bwd_s(x, inp):
+        xr, xi = x
+        ur, ui, ek, dr, di, den = inp
+        rr = jnp.sum(ek * xr) - jnp.sum(ur * xr - ui * xi)
+        ri = jnp.sum(ek * xi) - jnp.sum(ur * xi + ui * xr)
+        vr = (rr * dr + ri * di) / den
+        vi = (ri * dr - rr * di) / den
+        m = ek != 0.0
+        return (jnp.where(m, vr, xr), jnp.where(m, vi, xi)), None
+
+    x, _ = lax.scan(fwd_s, x, (Lr, Li, onehot))
+    x, _ = lax.scan(bwd_s, x, (Ur, Ui, onehot, dr_, di_, den_),
+                    reverse=True)
+    return x
