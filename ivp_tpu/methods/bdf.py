@@ -80,6 +80,12 @@ class BDFParams:
 # n at or below which "auto" uses the explicit-inverse linear path.
 INV_AUTO_N = 8
 
+# n below which "auto" prefers dense LU over the banded cyclic-reduction
+# backend even when a narrow band is known (see radau.BANDED_AUTO_MIN_N:
+# scan-based dense substitutions moved the measured ensemble crossover
+# past n=32, docs/BENCH.md mid-size table).
+BANDED_AUTO_MIN_N = 48
+
 
 def _backend_kind(p) -> str:
     if p.linear_mode not in ("auto", "lu", "inverse", "banded"):
@@ -94,7 +100,8 @@ def _backend_kind(p) -> str:
         return "banded"
     if p.n <= INV_AUTO_N:
         return "inverse"
-    if p.band is not None and 3 * (p.band[0] + p.band[1] + 1) <= p.n:
+    if (p.band is not None and p.n >= BANDED_AUTO_MIN_N
+            and 3 * (p.band[0] + p.band[1] + 1) <= p.n):
         return "banded"
     return "lu"
 

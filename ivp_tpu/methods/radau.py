@@ -101,6 +101,13 @@ class RadauParams:
 # n at or below which "auto" uses the explicit-inverse linear path.
 INV_AUTO_N = 8
 
+# n below which "auto" prefers dense LU over the banded cyclic-reduction
+# backend even when a narrow band is known: with scan-based substitutions
+# dense LU wins the bw-2 Brusselator ensemble at n=32 (1064 vs 845-901
+# IVPs/s, interleaved in-process A/B) while CR wins 1.9x at n=64
+# (docs/BENCH.md mid-size table).
+BANDED_AUTO_MIN_N = 48
+
 
 # Newton-loop exit codes.
 _CONTINUE, _CONVERGED, _DIVERGED, _BAD_THETA, _MAXITER = 0, 1, 2, 3, 4
@@ -153,6 +160,7 @@ def _backend_kind(p: RadauParams) -> str:
     if p.n <= INV_AUTO_N:
         return "inverse"
     if (p.band is not None and not p.has_mass
+            and p.n >= BANDED_AUTO_MIN_N
             and 3 * (p.band[0] + p.band[1] + 1) <= p.n):
         return "banded"
     return "lu"

@@ -443,8 +443,10 @@ def test_ensemble_mass_matrix_via_solver_options():
 
 def test_ensemble_jac_sparsity_grouped_fd_and_banded():
     """jac_sparsity in the ensemble tier: grouped-FD Jacobian (reference
-    src/python/sparsity.rs) + automatic banded-backend selection
-    (matrix/base.rs banded storage), vmapped."""
+    src/python/sparsity.rs) + banded backend with the band auto-detected
+    from the pattern (matrix/base.rs banded storage), vmapped.  At n=12
+    'auto' now routes to dense LU (BANDED_AUTO_MIN_N), so the CR path is
+    requested explicitly; the band still comes from the sparsity pattern."""
     N = 12
 
     def rhs(t, y):
@@ -459,7 +461,8 @@ def test_ensemble_jac_sparsity_grouped_fd_and_banded():
 
     y0 = np.tile(np.sin(np.pi * np.arange(1, N + 1) / (N + 1)), (3, 1))
     r_sp = solve_ivp_ensemble(rhs, (0.0, 0.5), y0, method="Radau",
-                              rtol=1e-7, atol=1e-10, jac_sparsity=pattern)
+                              rtol=1e-7, atol=1e-10, jac_sparsity=pattern,
+                              solver_options={"linear_mode": "banded"})
     r_fd = solve_ivp_ensemble(rhs, (0.0, 0.5), y0, method="Radau",
                               rtol=1e-7, atol=1e-10)
     assert np.all(np.asarray(r_sp.status) == 0)
