@@ -241,3 +241,52 @@ def test_mixed_precision_newton(method):
     np.testing.assert_allclose(np.asarray(rm.y[:, -1]),
                                np.asarray(rf.y[:, -1]), rtol=1e-7)
     assert abs(int(rm.nstep) - int(rf.nstep)) <= 2
+
+
+@pytest.mark.parametrize("n", [24, 40])
+def test_lu_scan_branch_f32(n):
+    """f32 LU above the f32 unroll window (UNROLL_N_F32=32) and inside it
+    (n=24, unrolled where f64 would already scan): the dtype-dependent
+    policy must give correct solves on both sides of both windows."""
+    rng = np.random.default_rng(n)
+    a = (rng.standard_normal((n, n)) + 2 * np.eye(n)).astype(np.float32)
+    a[0, 0] = 0.0  # force a pivot swap at k=0
+    b = rng.standard_normal(n).astype(np.float32)
+    (lu, P), sing = lu_factor(jnp.asarray(a))
+    assert lu.dtype == jnp.float32
+    assert not bool(sing)
+    x = lu_solve((lu, P), jnp.asarray(b))
+    np.testing.assert_allclose(a @ np.asarray(x), b, atol=5e-4)
+
+
+@pytest.mark.parametrize("n", [20, 40])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_lu_multi_rhs_scan_branch(n, dtype):
+    """Multi-RHS scan substitutions (_lu_solve_cols via inv) above the
+    unroll windows: inv(a) @ a == I for both dtypes at scan sizes."""
+    rng = np.random.default_rng(n + 3)
+    a = (rng.standard_normal((n, n)) + 3 * np.eye(n)).astype(dtype)
+    ainv, sing = inv(jnp.asarray(a))
+    assert not bool(sing)
+    tol = 1e-9 if dtype == np.float64 else 2e-3
+    np.testing.assert_allclose(np.asarray(ainv) @ a, np.eye(n), atol=tol)
+
+
+@pytest.mark.parametrize("n", [40])
+def test_lu_cpair_scan_branch_f32(n):
+    """f32 complex-pair LU above the f32 unroll window: scan-based complex
+    substitutions vs numpy's complex solve."""
+    from ivp_tpu.core.linalg import lu_factor_cpair, lu_solve_cpair
+
+    rng = np.random.default_rng(n + 11)
+    ar = (rng.standard_normal((n, n)) + 3 * np.eye(n)).astype(np.float32)
+    ai = rng.standard_normal((n, n)).astype(np.float32)
+    br = rng.standard_normal(n).astype(np.float32)
+    bi = rng.standard_normal(n).astype(np.float32)
+    rep, sing = lu_factor_cpair(jnp.asarray(ar), jnp.asarray(ai))
+    assert not bool(sing)
+    xr, xi = lu_solve_cpair(rep, jnp.asarray(br), jnp.asarray(bi))
+    z = np.linalg.solve(ar.astype(np.float64) + 1j * ai.astype(np.float64),
+                        br.astype(np.float64) + 1j * bi.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(xr), z.real, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(xi), z.imag, atol=5e-3)
