@@ -460,9 +460,10 @@ def make_engine(need_cont: bool, *, jac_fn, const_jac=False, n=0, **overrides):
         raise ValueError("BDF requires a Jacobian function")
     overrides.pop("newton_precision", None)      # f32 by construction
     overrides.pop("controller_precision", None)  # f32 by construction
+    overrides.pop("factor_f32", None)
     p = BDFParams(need_cont=need_cont, n=n, const_jac=const_jac,
                   newton_precision="full", controller_precision="float32",
-                  **overrides)
+                  factor_f32=True, **overrides)
     init = make_dd_bdf_init(jac_fn, p)
     attempt = make_dd_bdf_attempt(jac_fn, p)
     eng = Engine(name="BDF", ncoeff=MAX_ORDER + 2 if need_cont else 0,

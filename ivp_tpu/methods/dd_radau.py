@@ -477,10 +477,12 @@ def make_engine(need_cont: bool, *, jac_fn, const_jac=False, mass=None,
             "dtype=float64")
     overrides.pop("newton_precision", None)   # f32 solves by construction
     overrides.pop("controller_precision", None)  # f32 by construction
+    overrides.pop("factor_f32", None)
     p = RadauParams(need_cont=need_cont, n=n, nind=(None, None, None),
                     has_mass=False, const_jac=const_jac,
                     newton_precision="full",
-                    controller_precision="float32", **overrides)
+                    controller_precision="float32", factor_f32=True,
+                    **overrides)
     init = make_dd_radau_init(jac_fn, p)
     attempt = make_dd_radau_attempt(jac_fn, p)
     eng = Engine(name="RADAU", ncoeff=4 if need_cont else 0,

@@ -96,6 +96,10 @@ class RadauParams:
     # emulated f64 they run in f32 by default.  "state" restores dtype
     # arithmetic.
     controller_precision: str = "float32"
+    # Set by engines whose factorizations run in f32 regardless of
+    # newton_precision (the dd tier): with f32 factors, dense scan-LU beats
+    # banded CR through n=128 (docs/BENCH.md), so "auto" never picks banded.
+    factor_f32: bool = False
 
 
 # n at or below which "auto" uses the explicit-inverse linear path.
@@ -161,7 +165,11 @@ def _backend_kind(p: RadauParams) -> str:
         return "inverse"
     if (p.band is not None and not p.has_mass
             and p.n >= BANDED_AUTO_MIN_N
+            and p.newton_precision != "mixed" and not p.factor_f32
             and 3 * (p.band[0] + p.band[1] + 1) <= p.n):
+        # f32 factorizations (mixed Newton / dd) never auto-pick banded:
+        # dense scan-LU wins 1.7x at n=64 and 2.0x at n=128 over mixed+CR
+        # (docs/BENCH.md mid-size table).  'banded' still forces it.
         return "banded"
     return "lu"
 
