@@ -133,15 +133,21 @@ def _dd_jac_fn(fun, args_, jac, n, jac_sparsity=None):
     return jac_fn
 
 
-def _auto_band_opts(method_c, solver_options, jac_sparsity):
+def _auto_band_opts(method_c, solver_options, jac_sparsity, dtype=None):
     """Auto-enable the banded linear backend from a narrow-band sparsity
     pattern (mirrors solve.py:316-324; the engines' "auto" mode still only
-    selects it when profitable and mass-free)."""
+    selects it when profitable and mass-free).  f32-state ensembles
+    factor in f32, where dense scan-LU beats banded CR through n=128
+    (docs/BENCH.md), so they carry the factor_f32 routing hint."""
     opts = dict(solver_options or {})
-    if (jac_sparsity is not None and method_c in ("RADAU", "BDF")
-            and "band" not in opts):
+    if method_c not in ("RADAU", "BDF"):
+        return opts
+    if jac_sparsity is not None and "band" not in opts:
         from .core.block_tridiag import band_of_pattern
         opts["band"] = band_of_pattern(jac_sparsity)
+    if (dtype is not None and jnp.dtype(dtype) == jnp.float32
+            and "factor_f32" not in opts):
+        opts["factor_f32"] = True
     return opts
 
 
@@ -292,7 +298,8 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
             engine, p = get_engine(
                 method, need_cont=bool(n_ev) or sample_cap > 0,
                 jac_fn=jac_fn, const_jac=const_jac, n=n,
-                **_auto_band_opts(method, solver_options, jac_sparsity))
+                **_auto_band_opts(method, solver_options, jac_sparsity,
+                                  dtype=dtype))
         init_carry, run_chunk, _, _ = make_driver(engine, p, cfg, rhs,
                                                   events_fn, restart_fns)
         return init_carry, run_chunk
@@ -459,7 +466,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         engine, p = get_engine(
             method_c, need_cont=bool(n_ev) or sample_cap > 0,
             jac_fn=jac_fn, const_jac=const_jac, n=n,
-            **_auto_band_opts(method_c, solver_options, jac_sparsity))
+            **_auto_band_opts(method_c, solver_options, jac_sparsity,
+                                  dtype=dtype))
     cfg = DriverConfig(rec_cap=0, record_cont=False, ncoeff=0,
                        event_spec=ev_spec, sample_cap=sample_cap,
                        max_restarts=max_restarts, unroll=max(1, unroll))
@@ -820,7 +828,8 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
         engine, p = get_engine(
             method_c, need_cont=need_cont, jac_fn=jac_fn,
             const_jac=const_jac, n=n,
-            **_auto_band_opts(method_c, solver_options, jac_sparsity))
+            **_auto_band_opts(method_c, solver_options, jac_sparsity,
+                                  dtype=dtype))
     cfg = DriverConfig(rec_cap=rec_chunk, record_cont=dense_output,
                        ncoeff=engine.ncoeff, event_spec=ev_spec,
                        sample_cap=sample_cap, max_restarts=max_restarts)

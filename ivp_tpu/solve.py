@@ -334,6 +334,11 @@ def solve_ivp(
             and "band" not in (solver_options or {})):
         from .core.block_tridiag import band_of_pattern
         extra_opts["band"] = band_of_pattern(jac_sparsity)
+    if (method in ("RADAU", "BDF") and dtype == jnp.float32
+            and "factor_f32" not in (solver_options or {})):
+        # f32-state solves factor in f32, where dense scan-LU beats banded
+        # CR through n=128 (docs/BENCH.md) — hint the routing.
+        extra_opts["factor_f32"] = True
 
     def builder():
         engine, p = get_engine(
