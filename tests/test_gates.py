@@ -121,3 +121,34 @@ def test_mass_matrix_radau():
     # Equivalent explicit ODE: y0' = -y0/2, y1' = -y1/4.
     np.testing.assert_allclose(res.y[:, -1],
                                [np.exp(-0.5), np.exp(-0.25)], rtol=1e-6)
+
+
+def test_linear_backend_auto_routing():
+    """Auto linear-backend routing encodes the measured crossovers
+    (docs/BENCH.md mid-size table): inverse for n<=8, dense LU up to
+    n<48 even with a known band, banded CR from n>=48 for full-f64
+    Newton only — f32 factorizations (mixed Newton, factor_f32 hint,
+    i.e. f32 state / dd) stay on dense scan-LU."""
+    from ivp_tpu.methods.radau import RadauParams, _backend_kind
+    from ivp_tpu.methods import bdf as bdf_mod
+
+    def kind(**kw):
+        return _backend_kind(RadauParams(need_cont=False, **kw))
+
+    assert kind(n=4) == "inverse"
+    assert kind(n=32, band=(2, 2)) == "lu"           # below the n>=48 floor
+    assert kind(n=64, band=(2, 2)) == "banded"
+    assert kind(n=64, band=(2, 2),
+                newton_precision="mixed") == "lu"    # f32 factors
+    assert kind(n=64, band=(2, 2), factor_f32=True) == "lu"
+    assert kind(n=64, band=(11, 11)) == "lu"         # band too wide (3w > n)
+    assert kind(n=64, band=(2, 2),
+                linear_mode="banded") == "banded"    # explicit forces CR
+
+    def bkind(**kw):
+        return bdf_mod._backend_kind(bdf_mod.BDFParams(need_cont=False, **kw))
+
+    assert bkind(n=32, band=(2, 2)) == "lu"
+    assert bkind(n=64, band=(2, 2)) == "banded"
+    assert bkind(n=64, band=(2, 2), newton_precision="mixed") == "lu"
+    assert bkind(n=64, band=(2, 2), factor_f32=True) == "lu"
