@@ -136,17 +136,20 @@ def _dd_jac_fn(fun, args_, jac, n, jac_sparsity=None):
 def _auto_band_opts(method_c, solver_options, jac_sparsity, dtype=None):
     """Auto-enable the banded linear backend from a narrow-band sparsity
     pattern (mirrors solve.py:316-324; the engines' "auto" mode still only
-    selects it when profitable and mass-free).  f32-state ensembles
-    factor in f32, where dense scan-LU beats banded CR through n=128
-    (docs/BENCH.md), so they carry the factor_f32 routing hint."""
+    selects it when profitable and mass-free).  Batched f32
+    factorizations (f32 state or mixed Newton under vmap) carry the
+    factor_f32 routing hint: lanes saturate the VPU, so dense scan-LU
+    beats banded CR through n=192 there (docs/BENCH.md) — unlike single
+    IVPs, where CR wins from n>=48 at every precision."""
     opts = dict(solver_options or {})
     if method_c not in ("RADAU", "BDF"):
         return opts
     if jac_sparsity is not None and "band" not in opts:
         from .core.block_tridiag import band_of_pattern
         opts["band"] = band_of_pattern(jac_sparsity)
-    if (dtype is not None and jnp.dtype(dtype) == jnp.float32
-            and "factor_f32" not in opts):
+    f32_factor = ((dtype is not None and jnp.dtype(dtype) == jnp.float32)
+                  or opts.get("newton_precision") == "mixed")
+    if f32_factor and "factor_f32" not in opts:
         opts["factor_f32"] = True
     return opts
 

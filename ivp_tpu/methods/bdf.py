@@ -75,8 +75,9 @@ class BDFParams:
     # Norm / rate / step-controller arithmetic precision (see erk.py): f32
     # by default under emulated f64; "state" restores dtype arithmetic.
     controller_precision: str = "float32"
-    # f32 factorizations regardless of newton_precision (dd tier); with f32
-    # factors "auto" never picks banded (see radau.RadauParams.factor_f32).
+    # Ensemble-facade hint: batched f32 factorizations (mixed Newton, f32
+    # state, or dd under vmap) — "auto" skips banded where dense scan-LU
+    # wins (see radau.RadauParams.factor_f32).
     factor_f32: bool = False
 
 
@@ -104,7 +105,7 @@ def _backend_kind(p) -> str:
     if p.n <= INV_AUTO_N:
         return "inverse"
     if (p.band is not None and p.n >= BANDED_AUTO_MIN_N
-            and p.newton_precision != "mixed" and not p.factor_f32
+            and not p.factor_f32
             and 3 * (p.band[0] + p.band[1] + 1) <= p.n):
         return "banded"
     return "lu"

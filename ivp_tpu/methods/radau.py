@@ -96,9 +96,13 @@ class RadauParams:
     # emulated f64 they run in f32 by default.  "state" restores dtype
     # arithmetic.
     controller_precision: str = "float32"
-    # Set by engines whose factorizations run in f32 regardless of
-    # newton_precision (the dd tier): with f32 factors, dense scan-LU beats
-    # banded CR through n=128 (docs/BENCH.md), so "auto" never picks banded.
+    # Ensemble-facade hint: the factorizations run in f32 (mixed Newton,
+    # f32 state, or the dd tier) AND the solve is batched under vmap.
+    # Batched lanes already saturate the VPU, so the CR backend's log-depth
+    # parallelism doesn't pay and dense scan-LU wins through n=192
+    # (docs/BENCH.md) — "auto" skips banded.  Single IVPs are the opposite:
+    # CR wins from n≈48 even with f32 factors, so the single-IVP facade
+    # never sets this.
     factor_f32: bool = False
 
 
@@ -165,11 +169,13 @@ def _backend_kind(p: RadauParams) -> str:
         return "inverse"
     if (p.band is not None and not p.has_mass
             and p.n >= BANDED_AUTO_MIN_N
-            and p.newton_precision != "mixed" and not p.factor_f32
+            and not p.factor_f32
             and 3 * (p.band[0] + p.band[1] + 1) <= p.n):
-        # f32 factorizations (mixed Newton / dd) never auto-pick banded:
-        # dense scan-LU wins 1.7x at n=64 and 2.0x at n=128 over mixed+CR
-        # (docs/BENCH.md mid-size table).  'banded' still forces it.
+        # Batched f32 factorizations (factor_f32 hint) never auto-pick
+        # banded: under vmap, dense scan-LU wins 1.7x at n=64 through 2.2x
+        # at n=192 over mixed+CR (docs/BENCH.md mid-size table); for single
+        # IVPs CR wins from n>=48 at every precision, so the hint is only
+        # set by the ensemble builders.  'banded' still forces CR.
         return "banded"
     return "lu"
 

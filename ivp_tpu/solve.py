@@ -334,11 +334,9 @@ def solve_ivp(
             and "band" not in (solver_options or {})):
         from .core.block_tridiag import band_of_pattern
         extra_opts["band"] = band_of_pattern(jac_sparsity)
-    if (method in ("RADAU", "BDF") and dtype == jnp.float32
-            and "factor_f32" not in (solver_options or {})):
-        # f32-state solves factor in f32, where dense scan-LU beats banded
-        # CR through n=128 (docs/BENCH.md) — hint the routing.
-        extra_opts["factor_f32"] = True
+    # (No factor_f32 hint here: for single IVPs the banded CR backend wins
+    # from n>=48 at every factor precision — the batched-f32 dense win is
+    # an ensemble/vmap phenomenon, hinted by the batch builders only.)
 
     def builder():
         engine, p = get_engine(

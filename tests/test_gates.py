@@ -138,8 +138,10 @@ def test_linear_backend_auto_routing():
     assert kind(n=4) == "inverse"
     assert kind(n=32, band=(2, 2)) == "lu"           # below the n>=48 floor
     assert kind(n=64, band=(2, 2)) == "banded"
-    assert kind(n=64, band=(2, 2),
-                newton_precision="mixed") == "lu"    # f32 factors
+    # Single-IVP semantics: mixed Newton alone still routes banded (CR wins
+    # from n>=48 there); the batched-f32 dense win arrives via the
+    # ensemble-facade factor_f32 hint.
+    assert kind(n=64, band=(2, 2), newton_precision="mixed") == "banded"
     assert kind(n=64, band=(2, 2), factor_f32=True) == "lu"
     assert kind(n=64, band=(11, 11)) == "lu"         # band too wide (3w > n)
     assert kind(n=64, band=(2, 2),
@@ -150,5 +152,14 @@ def test_linear_backend_auto_routing():
 
     assert bkind(n=32, band=(2, 2)) == "lu"
     assert bkind(n=64, band=(2, 2)) == "banded"
-    assert bkind(n=64, band=(2, 2), newton_precision="mixed") == "lu"
+    assert bkind(n=64, band=(2, 2), newton_precision="mixed") == "banded"
     assert bkind(n=64, band=(2, 2), factor_f32=True) == "lu"
+
+    # The ensemble facade sets the hint for f32 state and mixed Newton.
+    from ivp_tpu.batch import _auto_band_opts
+    assert _auto_band_opts("RADAU", {"newton_precision": "mixed"},
+                           None)["factor_f32"] is True
+    assert _auto_band_opts("RADAU", None, None,
+                           dtype=jnp.float32)["factor_f32"] is True
+    assert "factor_f32" not in _auto_band_opts("RADAU", None, None,
+                                               dtype=jnp.float64)
