@@ -112,8 +112,8 @@ INV_AUTO_N = 8
 # n below which "auto" prefers dense LU over the banded cyclic-reduction
 # backend even when a narrow band is known: with scan-based substitutions
 # dense LU wins the bw-2 Brusselator ensemble at n=32 (1064 vs 845-901
-# IVPs/s, interleaved in-process A/B) while CR wins 1.9x at n=64
-# (docs/BENCH.md mid-size table).
+# IVPs/s, interleaved in-process A/B) while CR wins 3.1-3.7x at n=64
+# (interleaved; docs/BENCH.md mid-size table).
 BANDED_AUTO_MIN_N = 48
 
 
