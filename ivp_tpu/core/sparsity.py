@@ -15,6 +15,20 @@ import numpy as np
 FD_EPS = float(np.sqrt(np.finfo(np.float64).eps))
 
 
+def _fd_eps(dtype) -> float:
+    """sqrt(machine eps) of the FD compute dtype.
+
+    The perturbation must scale with the dtype actually doing the
+    differencing: the f64 constant (1.49e-8) is BELOW the f32 ulp of y ~ 1,
+    so an f32 grouped-FD (the dd tier's Jacobian path, batch.py::_dd_jac_fn)
+    would round ``y + dy`` back to ``y`` and return an identically zero
+    Jacobian."""
+    try:
+        return float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
+    except ValueError:  # non-float dtype: keep the f64 default
+        return FD_EPS
+
+
 def _to_dense_pattern(sparsity) -> np.ndarray:
     if hasattr(sparsity, "toarray"):
         pat = sparsity.toarray()
@@ -58,13 +72,14 @@ def make_grouped_fd_jac(rhs, sparsity, n: int, dtype):
     pat = _to_dense_pattern(sparsity)
     groups_j = jnp.asarray(groups)
     pat_j = jnp.asarray(pat, dtype)
+    eps = _fd_eps(dtype)
     onehot = jnp.asarray(
         (groups[None, :] == np.arange(n_groups)[:, None]).astype(np.float64),
         dtype)  # (G, n): columns in each group
 
     def jac_fn(t, y):
         f0 = rhs(t, y)
-        h = FD_EPS * jnp.maximum(jnp.abs(y), 1.0)  # (n,)
+        h = eps * jnp.maximum(jnp.abs(y), 1.0)  # (n,)
         perturbs = onehot * h[None, :]             # (G, n)
         fp = jax.vmap(lambda dy: rhs(t, y + dy))(perturbs)  # (G, n)
         df = fp - f0[None, :]                      # (G, n_rows)

@@ -168,3 +168,28 @@ def test_strict_dense_evaluation():
         s.sol_span(1.0, 3.0, 4)
     # the SciPy-style callable still extrapolates (solution.rs:109-139)
     assert np.isfinite(s(2.5)[0])
+
+
+def test_grouped_fd_eps_scales_with_dtype():
+    """f32 grouped FD must perturb above the f32 ulp: the f64 eps constant
+    (1.49e-8) rounds away under f32 arithmetic and returned an identically
+    zero Jacobian (the dd tier's sparse-Jacobian path)."""
+    from ivp_tpu.core.sparsity import make_grouped_fd_jac
+
+    n = 6
+    pat = np.eye(n) + np.eye(n, k=1) + np.eye(n, k=-1)
+
+    def rhs32(t, y):
+        return jnp.asarray(-2.0 * y + 0.5 * jnp.roll(y, 1), jnp.float32)
+
+    jac_fn, _ = make_grouped_fd_jac(rhs32, pat, n, jnp.float32)
+    J = np.asarray(jac_fn(0.0, 1.7 * jnp.ones((n,), jnp.float32)))
+    np.testing.assert_allclose(J.diagonal()[1:], -2.0, rtol=1e-3)
+    np.testing.assert_allclose(np.diag(J, -1), 0.5, rtol=1e-3)
+
+    def rhs64(t, y):
+        return -2.0 * y + 0.5 * jnp.roll(y, 1)
+
+    jac64, _ = make_grouped_fd_jac(rhs64, pat, n, jnp.float64)
+    J64 = np.asarray(jac64(0.0, 1.7 * jnp.ones((n,))))
+    np.testing.assert_allclose(J, J64, atol=2e-3)
