@@ -41,6 +41,8 @@ def main():
     x = np.linspace(0, 1, N + 2)[1:-1]
     u0 = np.exp(-200.0 * x ** 2)  # front near the left boundary
 
+    # jac_sparsity="auto" detects the tridiagonal structure by probing
+    # jacfwd around u0 — identical routing to the explicit pattern below.
     for opts, label in ((None, "banded f64"),
                         ({"newton_precision": "mixed"}, "banded mixed"),
                         ({"linear_mode": "lu"}, "dense LU f64")):

@@ -31,6 +31,7 @@ from .parallel.sharding import solve_ivp_sharded             # noqa: E402
 from .core import ddmath                                     # noqa: E402
 from .core.ddmath import DD                                  # noqa: E402
 from .core.ddify import ddify                                # noqa: E402
+from .core.sparsity import detect_jac_sparsity               # noqa: E402
 from .adjoint import odeint, odeint_adjoint                  # noqa: E402
 
 __version__ = "0.1.0"
@@ -47,6 +48,7 @@ __all__ = [
     "ddmath",
     "DD",
     "ddify",
+    "detect_jac_sparsity",
     "odeint",
     "odeint_adjoint",
 ]

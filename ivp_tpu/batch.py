@@ -133,6 +133,20 @@ def _dd_jac_fn(fun, args_, jac, n, jac_sparsity=None):
     return jac_fn
 
 
+def _no_auto_sparsity(jac_sparsity, builder: str):
+    """The raw builders construct solvers before any y0 exists, so the
+    probing detection behind jac_sparsity="auto" cannot run — direct users
+    to the facades (which have y0) or to detect_jac_sparsity."""
+    if isinstance(jac_sparsity, str):
+        raise ValueError(
+            f"jac_sparsity='auto' needs an initial state to probe, but "
+            f"{builder} builds before y0 is known.  Pass an explicit "
+            "pattern, use solve_ivp / solve_ivp_ensemble / "
+            "solve_ivp_sharded, or call "
+            "ivp_tpu.detect_jac_sparsity(rhs, t0, y0) yourself.")
+    return jac_sparsity
+
+
 def _auto_band_opts(method_c, solver_options, jac_sparsity, dtype=None):
     """Auto-enable the banded linear backend from a narrow-band sparsity
     pattern (mirrors solve.py:316-324; the engines' "auto" mode still only
@@ -231,6 +245,7 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     precision across a restart is f32-grade at the restart point and dd
     thereafter.
     """
+    jac_sparsity = _no_auto_sparsity(jac_sparsity, "build_ensemble_solver")
     use_dd = _is_dd(dtype)
     if use_dd:
         dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
@@ -281,9 +296,10 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         jac_fn = None
         const_jac = False
         if method in ("RADAU", "BDF") and not use_dd:
-            from .solve import _normalize_jac
-            jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, args_,
-                                               jac_sparsity)
+            from .solve import _facade_jac_dtype, _normalize_jac
+            jac_fn, const_jac = _normalize_jac(
+                jac, rhs, n, dtype, args_, jac_sparsity,
+                jac_dtype=_facade_jac_dtype(method, solver_options))
 
         events_fn = None
         if n_ev:
@@ -414,6 +430,7 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     :func:`build_ensemble_solver` (DD RHS, f32 event views, f64 event
     times); the checkpoint carry then holds the state as a DD pytree.
     """
+    jac_sparsity = _no_auto_sparsity(jac_sparsity, "build_resumable_solver")
     use_dd = _is_dd(dtype)
     if use_dd:
         dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
@@ -435,9 +452,10 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     jac_fn = None
     const_jac = False
     if method_c in ("RADAU", "BDF") and not use_dd:
-        from .solve import _normalize_jac
-        jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, tuple(args),
-                                           jac_sparsity)
+        from .solve import _facade_jac_dtype, _normalize_jac
+        jac_fn, const_jac = _normalize_jac(
+            jac, rhs, n, dtype, tuple(args), jac_sparsity,
+            jac_dtype=_facade_jac_dtype(method_c, solver_options))
 
     ev_list = list(events) if events else []
     n_ev = len(ev_list)
@@ -593,6 +611,17 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     terminal budgets, sample cursors and counters continuing across the
     switch.  ``result.switched`` marks the resumed lanes.
     """
+    if isinstance(jac_sparsity, str) and np.asarray(y0_batch).size:
+        # jac_sparsity="auto": host-side structural detection around the
+        # first lane's y0 (core/sparsity.py; TPU-build extension).  Resolved
+        # before the method="auto" dispatch so the stiff resume leg sees a
+        # concrete pattern.
+        from .core.sparsity import resolve_jac_sparsity
+        _n_det = int(np.atleast_2d(np.asarray(y0_batch)).shape[1])
+        jac_sparsity = resolve_jac_sparsity(
+            jac_sparsity,
+            lambda t, y: jnp.asarray(fun(t, y, *tuple(args))).reshape(_n_det),
+            float(t_span[0]), np.atleast_2d(np.asarray(y0_batch)))
     if isinstance(method, str) and method.lower() == "auto":
         from .auto import solve_ivp_ensemble_auto
         return solve_ivp_ensemble_auto(
@@ -776,6 +805,7 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
     ``dtype="dd"``: recorded step states and dense coefficients are the f32
     views of the dd state (Engine.lower); the recorded *time* axes keep f64.
     """
+    jac_sparsity = _no_auto_sparsity(jac_sparsity, "build_recording_solver")
     use_dd = _is_dd(dtype)
     if use_dd:
         dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
@@ -797,9 +827,10 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
     jac_fn = None
     const_jac = False
     if method_c in ("RADAU", "BDF") and not use_dd:
-        from .solve import _normalize_jac
-        jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, tuple(args),
-                                           jac_sparsity)
+        from .solve import _facade_jac_dtype, _normalize_jac
+        jac_fn, const_jac = _normalize_jac(
+            jac, rhs, n, dtype, tuple(args), jac_sparsity,
+            jac_dtype=_facade_jac_dtype(method_c, solver_options))
 
     ev_list = list(events) if events else []
     n_ev = len(ev_list)

@@ -62,6 +62,52 @@ def column_groups(sparsity) -> tuple[np.ndarray, int]:
     return groups, len(group_rows)
 
 
+def detect_jac_sparsity(rhs, t0, y0, *, probes: int = 3,
+                        seed: int = 0) -> np.ndarray:
+    """Detect the structural sparsity pattern of d(rhs)/dy by probing.
+
+    Evaluates the dense Jacobian (``jax.jacfwd``) at ``probes`` jittered
+    points around ``y0`` and ORs the nonzero patterns — entries that are
+    structurally zero stay exactly 0.0 under autodiff, while incidental
+    zeros (cancellation at one particular state) survive the multi-probe OR
+    with overwhelming probability.  One-time host cost of ``probes`` dense
+    Jacobians; the result feeds the grouped-FD evaluator and the banded
+    backend exactly like a user-supplied pattern (``jac_sparsity="auto"``
+    in the facades).
+
+    The reference requires the user to hand over a scipy sparse pattern
+    (src/python/sparsity.rs:30-92); detection is a TPU-build extension.
+    """
+    y0 = jnp.atleast_1d(jnp.asarray(y0))
+    if y0.ndim > 1:  # batched ensembles: probe around the first lane
+        y0 = y0[0]
+    n = y0.shape[0]
+    rng = np.random.default_rng(seed)
+    scale = np.maximum(np.abs(np.asarray(y0, float)), 1.0)
+    pat = np.zeros((n, n), dtype=bool)
+    jfun = jax.jit(jax.jacfwd(lambda yy: rhs(t0, yy)))
+    for k in range(max(1, probes)):
+        if k == 0:
+            yp = y0
+        else:
+            yp = (y0 * (1.0 + 0.05 * rng.standard_normal(n))
+                  + 0.01 * scale * rng.standard_normal(n)).astype(y0.dtype)
+        J = np.asarray(jfun(jnp.asarray(yp)))
+        pat |= J != 0.0
+    return pat
+
+
+def resolve_jac_sparsity(jac_sparsity, rhs, t0, y0):
+    """Facade helper: pass through explicit patterns, detect on "auto"."""
+    if isinstance(jac_sparsity, str):
+        if jac_sparsity != "auto":
+            raise ValueError(
+                f"jac_sparsity must be a sparsity pattern or 'auto'; "
+                f"got {jac_sparsity!r}")
+        return detect_jac_sparsity(rhs, t0, y0)
+    return jac_sparsity
+
+
 def make_grouped_fd_jac(rhs, sparsity, n: int, dtype):
     """Build jac_fn(t, y) -> (n, n) using grouped forward differences.
 

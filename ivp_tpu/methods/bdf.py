@@ -79,6 +79,9 @@ class BDFParams:
     # state, or dd under vmap) — "auto" skips banded where dense scan-LU
     # wins (see radau.RadauParams.factor_f32).
     factor_f32: bool = False
+    # Jacobian storage/build precision ("auto" => f32 when the
+    # factorization is f32; see radau.RadauParams.jac_precision).
+    jac_precision: str = "auto"
 
 
 # n at or below which "auto" uses the explicit-inverse linear path.
@@ -266,13 +269,14 @@ def change_d(D, order, factor):
 
 def make_bdf_init(jac_fn, p: BDFParams):
     n = p.n
+    from .radau import jac_dtype_of
 
     def init(rhs, t0, y0, first_step, ra: RunArgs, p_):
         dtype = y0.dtype
         tdt = ra.tend.dtype  # time dtype (f64-time/f32-state hybrid aware)
         posneg = jnp.sign(ra.tend - t0)
         f0 = rhs(t0, y0)
-        jac = jac_fn(t0, y0)
+        jac = jac_fn(t0, y0).astype(jac_dtype_of(p, dtype))
         if first_step is not None:
             h_abs = jnp.abs(first_step).astype(tdt)
             nfev = 1
@@ -304,9 +308,11 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
     gamma = tab.BDF_GAMMA
     alpha = tab.BDF_ALPHA
     error_const = tab.BDF_ERROR_CONST
+    from .radau import jac_dtype_of
 
     def attempt(rhs, t, y, naccpt, ms: BDFState, ra: RunArgs, p_):
         dtype = y.dtype
+        jdt = jac_dtype_of(p, dtype)
         cdt = jnp.float32 if p.controller_precision == "float32" else dtype
         rtol_min = jnp.maximum(jnp.min(ra.rtol), EPS)
         if p.newton_tol > 0.0:
@@ -361,7 +367,9 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         rebuild = (~lu_current) | drift
 
         def build():
-            m = jnp.eye(n, dtype=dtype) - cy * ms.jac
+            # Matrix build in the Jacobian dtype (f32 under jac_precision;
+            # the mixed factor boundary rounds to f32 anyway).
+            m = jnp.eye(n, dtype=jdt) - cy.astype(jdt) * ms.jac
             return factor(m)
 
         lin, sing = lax.cond(rebuild, build,
@@ -450,7 +458,8 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
 
         # Newton failure: refresh Jacobian, halve the step (bdf.rs:448-459).
         jac_new = lax.cond(newton_fail & ~too_small,
-                           lambda: jac_fn(x_new, y_predict), lambda: ms.jac)
+                           lambda: jac_fn(x_new, y_predict).astype(jdt),
+                           lambda: ms.jac)
         njev = jnp.where(newton_fail & ~too_small & (not p.const_jac), 1, 0).astype(jnp.int32)
 
         safety = SAFETY * (2.0 * p.newton_maxiter + 1.0) / (
@@ -533,7 +542,8 @@ def make_bdf_attempt(jac_fn, p: BDFParams):
         order_next = jnp.where(adapt, new_order, order)
         order_changed = adapt & (new_order != order)
         jac_after = lax.cond(order_changed,
-                             lambda: jac_fn(x_new, y_new), lambda: jac_new)
+                             lambda: jac_fn(x_new, y_new).astype(jdt),
+                             lambda: jac_new)
         njev = njev + jnp.where(order_changed & (not p.const_jac), 1, 0).astype(jnp.int32)
 
         # ---- Next-step bookkeeping across the outcome cases ----

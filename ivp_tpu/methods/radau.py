@@ -104,6 +104,17 @@ class RadauParams:
     # CR wins from n≈48 even with f32 factors, so the single-IVP facade
     # never sets this.
     factor_f32: bool = False
+    # Jacobian storage/build precision.  "auto" keeps the Jacobian (and the
+    # E1/E2 matrix builds) in f32 whenever the factorization is f32
+    # (newton_precision="mixed") — J only enters the iteration matrices,
+    # which are rounded to f32 at the factor boundary anyway, so an f32 J
+    # perturbs the factored operator by no more than the cast it replaces.
+    # The facade additionally builds the jac_fn itself in f32 arithmetic
+    # then (solve.py::_normalize_jac), eliminating the emulated-f64
+    # Jacobian evaluation — measured 33% of the n=32 mixed ensemble
+    # attempt (benches/radau_phases.py).  "state" restores state-dtype
+    # Jacobians; "float32" forces f32 (requires a f32 factorization).
+    jac_precision: str = "auto"
 
 
 # n at or below which "auto" uses the explicit-inverse linear path.
@@ -144,6 +155,24 @@ def _dae_partition(p: RadauParams, n: int):
     if n1 + n2 + n3 != n or min(n1, n2, n3) < 0:
         raise ValueError(f"invalid DAE partition ({n1},{n2},{n3}) for n={n}")
     return n1, n2, n3
+
+
+def jac_dtype_of(p, dtype):
+    """Effective Jacobian dtype for params ``p`` and state dtype ``dtype``
+    (shared by RADAU and BDF; see RadauParams.jac_precision)."""
+    jp = p.jac_precision
+    if jp not in ("auto", "state", "float32"):
+        raise ValueError(
+            f"jac_precision must be 'auto', 'state' or 'float32'; got {jp!r}")
+    if jp == "state":
+        return dtype
+    if p.newton_precision == "mixed":
+        return jnp.float32
+    if jp == "float32" and jnp.dtype(dtype) != jnp.float32:
+        raise ValueError(
+            "jac_precision='float32' requires an f32 factorization "
+            "(newton_precision='mixed' or float32 state)")
+    return dtype
 
 
 def _backend_kind(p: RadauParams) -> str:
@@ -299,7 +328,7 @@ def make_radau_init(jac_fn, mass_mat, p: RadauParams):
             hhfac=h, h_acc=jnp.zeros((), tdt), err_acc=jnp.zeros((), cdt),
             call_jac=jnp.ones((), bool), call_decomp=jnp.ones((), bool),
             singular=_i32(0),
-            jac=jnp.zeros((n, n), dtype),
+            jac=jnp.zeros((n, n), jac_dtype_of(p, dtype)),
             lin=zero_lin(dtype),
         )
         return ms, 1
@@ -331,15 +360,16 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
             return v
 
     def build_matrices(h, jac):
-        # 1/h terms computed in time precision, cast to the state dtype for
-        # the matrix build (hybrid-aware; no-op when dtypes match).
+        # 1/h terms computed in time precision, cast to the JACOBIAN dtype
+        # for the matrix build (f32 under jac_precision; hybrid-aware).
         fac1 = (U1 / h).astype(jac.dtype)
         alphn = (ALPH / h).astype(jac.dtype)
         betan = (BETA / h).astype(jac.dtype)
         if p.has_mass:
-            e1 = fac1 * M - jac
-            e2r = alphn * M - jac
-            e2i = betan * M
+            Mj = M.astype(jac.dtype)
+            e1 = fac1 * Mj - jac
+            e2r = alphn * Mj - jac
+            e2i = betan * Mj
         else:
             eye = jnp.eye(n, dtype=jac.dtype)
             e1 = fac1 * eye - jac
@@ -372,7 +402,9 @@ def make_radau_attempt(jac_fn, mass_mat, p: RadauParams):
         nfev = _i32(0)
 
         # ---- Jacobian (reused while theta stays small; radau.rs:368-371) ----
-        jac = lax.cond(ms.call_jac, lambda: jac_fn(t, y), lambda: ms.jac)
+        jdt = jac_dtype_of(p, dtype)
+        jac = lax.cond(ms.call_jac, lambda: jac_fn(t, y).astype(jdt),
+                       lambda: ms.jac)
         njev = jnp.where(ms.call_jac & (not p.const_jac), 1, 0).astype(jnp.int32)
 
         # ---- Decompositions (reused when step ratio ~1; radau.rs:374-417) ----

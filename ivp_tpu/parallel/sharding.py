@@ -78,6 +78,17 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     """
     y0_batch = jnp.atleast_2d(jnp.asarray(y0_batch))
     B, n = y0_batch.shape
+    if isinstance(jac_sparsity, str):
+        # jac_sparsity="auto": detect on the host around lane 0 before the
+        # sharded solver is built (core/sparsity.py; with per-lane args the
+        # probe uses lane 0's vector field).
+        from ..core.sparsity import resolve_jac_sparsity
+        probe_args = tuple(a[0] for a in args) if (args_batched and args) \
+            else tuple(args)
+        jac_sparsity = resolve_jac_sparsity(
+            jac_sparsity,
+            lambda t, y: jnp.asarray(fun(t, y, *probe_args)).reshape(n),
+            float(np.asarray(t_span[0]).reshape(-1)[0]), y0_batch)
     if mesh is None:
         mesh = make_mesh(axis=axis)
     solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,

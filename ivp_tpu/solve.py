@@ -307,8 +307,17 @@ def solve_ivp(
     else:
         events_fn = None
 
-    jac_fn, const_jac = _normalize_jac(jac, rhs, n, dtype, args,
-                                       jac_sparsity=jac_sparsity)
+    # jac_sparsity="auto": detect the structural pattern by probing jacfwd
+    # around y0 (host-side, one-time) — feeds grouped FD + the banded
+    # backend like a user pattern (TPU-build extension; the reference
+    # requires an explicit scipy pattern, src/python/sparsity.rs:30-92).
+    if isinstance(jac_sparsity, str):
+        from .core.sparsity import resolve_jac_sparsity
+        jac_sparsity = resolve_jac_sparsity(jac_sparsity, rhs, t0, y0_arr)
+
+    jac_fn, const_jac = _normalize_jac(
+        jac, rhs, n, dtype, args, jac_sparsity=jac_sparsity,
+        jac_dtype=_facade_jac_dtype(method, solver_options))
 
     need_cont = bool(dense_output or t_eval_arr is not None or n_events
                      or first_step is not None)
@@ -515,7 +524,8 @@ def _broadcast_tol(tol, n, dtype):
     return arr
 
 
-def _normalize_jac(jac, rhs, n, dtype, args, jac_sparsity=None):
+def _normalize_jac(jac, rhs, n, dtype, args, jac_sparsity=None,
+                   jac_dtype=None):
     """Return (jac_fn(t, y) -> (n,n), const_jac flag).
 
     Callable jac is traced; a constant matrix is closed over; None falls back
@@ -523,31 +533,76 @@ def _normalize_jac(jac, rhs, n, dtype, args, jac_sparsity=None):
     (reference src/python/sparsity.rs) and otherwise to jax.jacfwd of the RHS
     (replacing the reference's hand-rolled forward differences,
     reference src/ivp.rs:67-107).
+
+    ``jac_dtype`` (e.g. float32 under mixed-precision Newton — see
+    radau.RadauParams.jac_precision): the Jacobian is EVALUATED in that
+    dtype — inputs cast before the user callable / jacfwd / grouped FD runs,
+    so the whole Jacobian graph lowers to cheap native arithmetic instead
+    of emulated f64.  J only feeds the (already f32-factored) Newton
+    iteration matrices, so this is the same inexact-Newton trade as the f32
+    factor itself.
     """
+    jdt = jac_dtype
+
+    def _cast_in(t, y):
+        if jdt is None:
+            return t, y
+        return t.astype(jdt) if hasattr(t, "astype") else t, y.astype(jdt)
+
     if jac is None:
         if jac_sparsity is not None:
             from .core.sparsity import make_grouped_fd_jac
-            jac_fn, _ = make_grouped_fd_jac(rhs, jac_sparsity, n, dtype)
+            fd_dtype = jdt or dtype
+            if jdt is None:
+                fd_rhs = rhs
+            else:
+                def fd_rhs(t, y):
+                    return rhs(t, y).astype(jdt)
+            fd_jac, _ = make_grouped_fd_jac(fd_rhs, jac_sparsity, n, fd_dtype)
+
+            def jac_fn(t, y):
+                return fd_jac(*_cast_in(t, y))
             return jac_fn, False
 
-        def jac_fn(t, y):
-            return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+        if jdt is None:
+            def jac_fn(t, y):
+                return jax.jacfwd(lambda yy: rhs(t, yy))(y)
+        else:
+            def jac_fn(t, y):
+                tj, yj = _cast_in(t, y)
+                return jax.jacfwd(lambda yy: rhs(tj, yy).astype(jdt))(yj)
         return jac_fn, False
     if callable(jac):
         def jac_fn(t, y):
-            j = jac(t, y, *args)
+            tj, yj = _cast_in(t, y)
+            j = jac(tj, yj, *args)
             if hasattr(j, "toarray"):
                 j = j.toarray()
-            return jnp.asarray(j, dtype).reshape(n, n)
+            return jnp.asarray(j, jdt or dtype).reshape(n, n)
         return jac_fn, False
     # constant matrix (possibly scipy-sparse)
     j = jac.toarray() if hasattr(jac, "toarray") else jac
-    j_const = jnp.asarray(np.asarray(j, dtype=float), dtype).reshape(n, n)
+    j_const = jnp.asarray(np.asarray(j, dtype=float), jdt or dtype).reshape(n, n)
 
     def jac_fn(t, y):
         return j_const
 
     return jac_fn, True
+
+
+def _facade_jac_dtype(method, solver_options):
+    """f32 Jacobian evaluation when the stiff engine will factor in f32
+    (newton_precision='mixed'), unless the user opts out with
+    jac_precision='state' (see radau.RadauParams.jac_precision)."""
+    so = solver_options or {}
+    if method not in ("RADAU", "BDF"):
+        return None
+    if so.get("jac_precision", "auto") == "state":
+        return None
+    if (so.get("newton_precision") == "mixed"
+            or so.get("jac_precision") == "float32"):
+        return jnp.float32
+    return None
 
 
 def _dedup(t_out, y_out):

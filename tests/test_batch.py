@@ -478,6 +478,11 @@ def test_ensemble_jac_sparsity_grouped_fd_and_banded():
     assert np.all(np.asarray(r_dd.status) == 0)
     np.testing.assert_allclose(np.asarray(r_dd.y), np.asarray(r_fd.y),
                                rtol=0, atol=1e-6)
+    # Efficiency gate: the f32 grouped-FD Jacobian must actually be a
+    # Jacobian.  (A dtype-blind FD eps once rounded the perturbation away,
+    # giving J == 0 — Newton limped through on tiny steps, so the state
+    # comparison above stayed green while nfev exploded.)
+    assert np.asarray(r_dd.nfev).max() < 3 * np.asarray(r_fd.nfev).max()
 
 
 def test_ensemble_empty_system():
