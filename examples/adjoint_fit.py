@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run examples without installing)
+
 from ivp_tpu import odeint_adjoint
 
 

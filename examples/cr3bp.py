@@ -6,6 +6,11 @@ dense output; the classic Hairer/Norsett/Wanner benchmark orbit.)
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run examples without installing)
+
 from ivp_tpu import solve_ivp
 
 MU = 0.012277471  # Earth-Moon mass ratio

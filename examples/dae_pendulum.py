@@ -18,6 +18,11 @@ lam index-3.
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run examples without installing)
+
 from ivp_tpu import solve_ivp
 
 G = 9.81

@@ -9,6 +9,11 @@ dense output, here across a vmapped ensemble).
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run examples without installing)
+
 from ivp_tpu.batch import solve_ivp_ensemble
 
 

@@ -19,6 +19,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run examples without installing)
+
 from ivp_tpu.batch import build_ensemble_solver
 
 

@@ -7,6 +7,11 @@ import time
 
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run examples without installing)
+
 from ivp_tpu import solve_ivp
 
 EPS = 1e-3  # stiffness parameter (mu = 1/eps)
