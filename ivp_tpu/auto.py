@@ -128,6 +128,60 @@ class CompositeOdeSolution:
         return ts, self(ts)
 
 
+class CompositeBatchOdeSolution:
+    """Batched piecewise dense solution across per-lane method switches.
+
+    Same query surface as :class:`ivp_tpu.batch.BatchOdeSolution` (scalar /
+    shared ``(m,)`` / per-lane ``(B, m)`` grids -> ``(B, n[, m])``).  Lanes
+    in ``idx`` switched engines at ``t_switch[i]``: queries up to the switch
+    time evaluate phase 1's interpolants, queries past it phase 2's — the
+    batched analog of :class:`CompositeOdeSolution`'s span dispatch.
+    Unswitched lanes always evaluate phase 1.
+    """
+
+    def __init__(self, sol1, sol2, idx, t_switch, forward: bool):
+        self._s1 = sol1            # full-batch phase-1 BatchOdeSolution
+        self._s2 = sol2            # sub-batch (len(idx)) phase-2 solution
+        self._idx = np.asarray(idx)
+        self._tsw = np.asarray(t_switch, float)   # (len(idx),)
+        self._fwd = bool(forward)
+        self.n_lanes = sol1.n_lanes
+        self.method = (sol1.method, sol2.method)
+        self.t_mins = np.asarray(sol1.t_mins).copy()
+        self.t_maxs = np.asarray(sol1.t_maxs).copy()
+        if forward:
+            self.t_maxs[self._idx] = np.asarray(sol2.t_maxs)
+        else:
+            self.t_mins[self._idx] = np.asarray(sol2.t_mins)
+
+    def t_span(self):
+        """Per-lane covered spans (batched OdeSolution.t_span analog)."""
+        return self.t_mins, self.t_maxs
+
+    def __call__(self, t):
+        t_arr = np.asarray(t, dtype=float)
+        scalar = t_arr.ndim == 0
+        if t_arr.ndim <= 1:
+            ts = np.broadcast_to(np.atleast_1d(t_arr)[None, :],
+                                 (self.n_lanes, np.atleast_1d(t_arr).size))
+        elif t_arr.ndim == 2:
+            if t_arr.shape[0] != self.n_lanes:
+                raise ValueError(
+                    f"per-lane query grid must have leading dim "
+                    f"{self.n_lanes}, got {t_arr.shape}")
+            ts = t_arr
+        else:
+            raise ValueError("query times must be scalar, (m,) or (B, m)")
+        out = np.array(self._s1(ts))                        # (B, n, m)
+        if self._idx.size and ts.shape[1]:
+            sub = np.asarray(self._s2(ts[self._idx]))       # (B2, n, m)
+            sgn = 1.0 if self._fwd else -1.0
+            past = (ts[self._idx] - self._tsw[:, None]) * sgn >= 0.0
+            out[self._idx] = np.where(past[:, None, :], sub,
+                                      out[self._idx])
+        return out[:, :, 0] if scalar else out
+
+
 def _parse_auto_options(solver_options):
     """Split ``solver_options`` into (nonstiff, stiff, ns_opts, st_opts)."""
     so = dict(solver_options or {})
@@ -211,6 +265,7 @@ def _gather_rows(v, idx, B, n):
 def solve_ivp_ensemble_auto(fun, t_span, y0_batch, *, rtol=1e-3, atol=1e-6,
                             solver_options=None, t_eval=None,
                             dense_output=False, record_trajectories=False,
+                            rec_chunk=1024,
                             first_step=None, chunk_steps=16384,
                             events=None, max_restarts=0, **kw):
     """Batched ``method="auto"``: per-lane stiffness routing.
@@ -229,16 +284,19 @@ def solve_ivp_ensemble_auto(fun, t_span, y0_batch, *, rtol=1e-3, atol=1e-6,
     Returns an :class:`ivp_tpu.batch.EnsembleResult` whose ``switched``
     field marks the resumed lanes.  Same ``solver_options`` surface as the
     single-IVP ``method="auto"``.
+
+    ``record_trajectories=True`` / ``dense_output=True`` compose with the
+    switch: per-lane step records concatenate across the two phases, and
+    ``sol`` is a :class:`CompositeBatchOdeSolution` that evaluates phase 1's
+    interpolants up to each lane's switch time and phase 2's past it
+    (the batched analog of the single-IVP :class:`CompositeOdeSolution`).
     """
     import jax.numpy as jnp
     from .batch import (EnsembleResult, build_resumable_solver,
-                        _ENSEMBLE_CACHE, _hashable)
+                        build_recording_solver, _drain_recording,
+                        _recording_result, _ENSEMBLE_CACHE, _hashable)
 
-    if dense_output or record_trajectories:
-        raise NotImplementedError(
-            "method='auto' in the ensemble tier supports final-state, "
-            "t_eval-sample and event outputs; use a fixed method for "
-            "per-step trajectory recording / batched dense output")
+    record = bool(dense_output or record_trajectories)
     nonstiff, stiff, ns_opts, st_opts = _parse_auto_options(solver_options)
 
     y0_batch = np.atleast_2d(np.asarray(y0_batch))
@@ -248,7 +306,10 @@ def solve_ivp_ensemble_auto(fun, t_span, y0_batch, *, rtol=1e-3, atol=1e-6,
         # Empty system: nothing can be stiff; take the ensemble fast path.
         from .batch import solve_ivp_ensemble
         r = solve_ivp_ensemble(fun, t_span, y0_batch, method=nonstiff,
-                               rtol=rtol, atol=atol, **kw)
+                               rtol=rtol, atol=atol,
+                               dense_output=dense_output,
+                               record_trajectories=record_trajectories,
+                               **kw)
         return r._replace(switched=np.zeros(B, bool))
 
     def build(method, opts, te, key_extra):
@@ -263,7 +324,16 @@ def solve_ivp_ensemble_auto(fun, t_span, y0_batch, *, rtol=1e-3, atol=1e-6,
                tuple(sorted((k2, _hashable(v))
                             for k2, v in (opts or {}).items())),
                max_restarts, str(kw.get("time_dtype")),
-               kw.get("max_step"), kw.get("min_step", 0.0), key_extra)
+               kw.get("max_step"), kw.get("min_step", 0.0), key_extra,
+               record, dense_output, rec_chunk if record else 0)
+        if record:
+            return _ENSEMBLE_CACHE.get_or_build(
+                key, lambda: build_recording_solver(
+                    fun, method, n=n, t_eval=te,
+                    events=events, max_restarts=max_restarts,
+                    first_step=first_step if key_extra == "p1" else None,
+                    solver_options=opts, dense_output=dense_output,
+                    rec_chunk=rec_chunk, **kw))
         return _ENSEMBLE_CACHE.get_or_build(
             key, lambda: build_resumable_solver(
                 fun, method, n=n, chunk_steps=chunk_steps, t_eval=te,
@@ -282,8 +352,15 @@ def solve_ivp_ensemble_auto(fun, t_span, y0_batch, *, rtol=1e-3, atol=1e-6,
         return carry, extract(carry)
 
     # -- phase 1: the whole batch on the explicit engine --
-    c1, res1 = run(*build(nonstiff, ns_opts, t_eval, "p1"),
-                   y0_batch, t0, rtol, atol)
+    if record:
+        ent1 = build(nonstiff, ns_opts, t_eval, "p1")
+        c1, cnt1, ts1, ys1, xo1, h1, co1 = _drain_recording(
+            ent1, y0_batch, t0, tf, rtol, atol)
+        res1 = _recording_result(ent1[0], nonstiff, c1, cnt1, ts1, ys1,
+                                 xo1, h1, co1, dense_output, t0, y0_batch)
+    else:
+        c1, res1 = run(*build(nonstiff, ns_opts, t_eval, "p1"),
+                       y0_batch, t0, rtol, atol)
     trip = np.asarray(res1.status) == int(Status.PROBABLY_STIFF)
     if not trip.any():
         return res1._replace(switched=np.zeros(B, bool))
@@ -322,8 +399,15 @@ def solve_ivp_ensemble_auto(fun, t_span, y0_batch, *, rtol=1e-3, atol=1e-6,
                              sample_y=g(c1.sample_y))
         return c2
 
-    _, res2 = run(*build(stiff, st_opts, te_sub, "p2"),
-                  y_sub, t_sub, rt_sub, at_sub, preload=preload)
+    if record:
+        ent2 = build(stiff, st_opts, te_sub, "p2")
+        c2f, cnt2, ts2, ys2, xo2, h2, co2 = _drain_recording(
+            ent2, y_sub, t_sub, tf, rt_sub, at_sub, preload=preload)
+        res2 = _recording_result(ent2[0], stiff, c2f, cnt2, ts2, ys2,
+                                 xo2, h2, co2, dense_output, t_sub, y_sub)
+    else:
+        _, res2 = run(*build(stiff, st_opts, te_sub, "p2"),
+                      y_sub, t_sub, rt_sub, at_sub, preload=preload)
 
     # -- scatter the resumed lanes back into the batch result --
     def scat(base, sub):
@@ -338,6 +422,30 @@ def solve_ivp_ensemble_auto(fun, t_span, y0_batch, *, rtol=1e-3, atol=1e-6,
                         "nrejct", "t_events", "y_events", "n_events",
                         "y_samples", "n_samples", "n_restarts",
                         "event_overflow")}
+
+    if record:
+        # -- concatenate per-lane step records across the two phases --
+        # (phase-2 records start strictly after each lane's switch point —
+        # records are accepted-step ENDPOINTS, so there is no duplicate).
+        counts_m = cnt1.astype(np.int64).copy()
+        counts_m[idx] = cnt1[idx] + cnt2
+        S = int(counts_m.max()) if counts_m.size else 0
+        ts_m = np.zeros((B, S))
+        ys_m = np.zeros((B, S, n))
+        S1 = ts1.shape[1]
+        ts_m[:, :S1] = ts1
+        ys_m[:, :S1] = ys1
+        S2 = ts2.shape[1]
+        if S2:
+            rows2, cols2 = np.nonzero(
+                np.arange(S2)[None, :] < np.asarray(cnt2)[:, None])
+            cols_out = cnt1[idx][rows2] + cols2
+            ts_m[idx[rows2], cols_out] = ts2[rows2, cols2]
+            ys_m[idx[rows2], cols_out] = ys2[rows2, cols2]
+        merged.update(ts=ts_m, ys=ys_m, n_steps_rec=counts_m)
+        if dense_output:
+            merged["sol"] = CompositeBatchOdeSolution(
+                res1.sol, res2.sol, idx, t_sub, forward=(tf >= t0))
     return EnsembleResult(**merged, switched=trip)
 
 

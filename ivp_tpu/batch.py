@@ -633,7 +633,7 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
             solver_options=solver_options, max_restarts=max_restarts,
             dense_output=dense_output,
             record_trajectories=record_trajectories,
-            time_dtype=time_dtype)
+            rec_chunk=rec_chunk, time_dtype=time_dtype)
     y0_batch = np.atleast_2d(np.asarray(y0_batch))
     n = y0_batch.shape[1]
     record = bool(dense_output or record_trajectories)
@@ -721,10 +721,12 @@ class BatchOdeSolution:
         self._conts = np.asarray(conts)    # (B, S, C, n)
         self._edges = np.asarray(edges)    # (B, S) recorded step endpoints
         self._counts = np.asarray(counts)  # (B,)
-        self._t0 = float(t0)
         self._y0 = np.asarray(y0_batch)    # (B, n)
         B = self._xolds.shape[0]
         self.n_lanes = B
+        # t0 may be per-lane (the method="auto" stiff resume starts each
+        # switched lane from its own reached time, ivp_tpu/auto.py).
+        self._t0 = np.broadcast_to(np.asarray(t0, float), (B,))
         has = self._counts > 0
         lastv = self._edges[np.arange(B), np.maximum(self._counts - 1, 0)]
         t_end = np.where(has, lastv, self._t0)
@@ -891,7 +893,10 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
         atol_v, _ = _norm_tol(atol, B, n, dtype, "atol")
         grid = (jnp.asarray(sample_grid, tdt)
                 if sample_grid is not None else None)
-        hmax = abs(float(tf) - float(t0))
+        # t0 may be a scalar or a (B,) array of per-lane start times (the
+        # method="auto" stiff resume restarts each tripped lane from its own
+        # reached time, ivp_tpu/auto.py).
+        hmax = float(np.max(np.abs(float(tf) - np.asarray(t0, float))))
         if max_step is not None:
             hmax = min(hmax, abs(float(max_step)))
         ra = RunArgs(
@@ -917,15 +922,19 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
     return engine, start, run_vchunk, vreset, dense_output
 
 
-def _run_recording(entry, y0_batch, t_span, rtol, atol, method,
-                   dense_output) -> EnsembleResult:
+def _drain_recording(entry, y0_batch, t0, tf, rtol, atol, preload=None):
     """Host chunk-drain loop for the recording solver: scatter each chunk's
     per-lane records into growing padded arrays (vectorized, no per-lane
-    Python loop)."""
-    engine, start, run_vchunk, vreset, _ = entry
-    t0, tf = float(t_span[0]), float(t_span[1])
-    B, n = y0_batch.shape
+    Python loop).  Returns ``(carry, counts, ts, ys, xolds, hs, conts)``.
+
+    ``t0`` may be a (B,) array of per-lane start times and ``preload`` a
+    carry -> carry continuation hook (the method="auto" stiff resume,
+    ivp_tpu/auto.py)."""
+    engine, start, run_vchunk, vreset, dense_output = entry
+    B, n = np.asarray(y0_batch).shape
     carry, ra = start(y0_batch, t0, tf, rtol, atol)
+    if preload is not None:
+        carry = preload(carry)
 
     chunks = []  # (n_rec (B,), rec_t, rec_y, rec_xold, rec_h, rec_cont)
     while True:
@@ -964,7 +973,12 @@ def _run_recording(entry, y0_batch, t_span, rtol, atol, method,
         if dense_output:
             conts[rows, cols_out] = cc[rows, cols_in]
         offs = offs + k
+    return carry, counts, ts, ys, xolds, hs, conts
 
+
+def _recording_result(engine, method, carry, counts, ts, ys, xolds, hs,
+                      conts, dense_output, t0, y0_batch) -> EnsembleResult:
+    """Assemble the EnsembleResult of a drained recording run."""
     kw = dict(ts=ts, ys=ys, n_steps_rec=counts)
     if dense_output:
         kw["sol"] = BatchOdeSolution(method, engine.interp, xolds, hs, conts,
@@ -988,3 +1002,13 @@ def _run_recording(entry, y0_batch, t_span, rtol, atol, method,
                           naccpt=np.asarray(carry.naccpt),
                           nrejct=np.asarray(carry.nrejct), **kw)
 
+
+
+def _run_recording(entry, y0_batch, t_span, rtol, atol, method,
+                   dense_output) -> EnsembleResult:
+    """Drain + assemble for the plain (single-method) recording path."""
+    t0, tf = float(t_span[0]), float(t_span[1])
+    carry, counts, ts, ys, xolds, hs, conts = _drain_recording(
+        entry, y0_batch, t0, tf, rtol, atol)
+    return _recording_result(entry[0], method, carry, counts, ts, ys,
+                             xolds, hs, conts, dense_output, t0, y0_batch)

@@ -273,8 +273,89 @@ def test_ensemble_auto_terminal_budget_spans_switch():
     np.testing.assert_allclose(float(r.t[0]), float(ref.t[-1]), rtol=1e-2)
 
 
-def test_ensemble_auto_dense_output_rejected():
+def test_ensemble_auto_record_trajectories():
+    """Per-lane step records concatenate across the switch: stiff lanes
+    carry explicit-phase records followed by stiff-phase records; benign
+    lanes match a plain RK45 recording run."""
     from ivp_tpu.batch import solve_ivp_ensemble
-    with pytest.raises(NotImplementedError):
-        solve_ivp_ensemble(rober, (0.0, 1.0), [[1.0, 0.0, 0.0]],
-                           method="auto", dense_output=True)
+
+    y0 = np.array([[1.0, 0.0, 0.0, 3e7]] * 2 + [[1.0, 0.0, 0.0, 10.0]] * 2)
+    r = solve_ivp_ensemble(rober_k, (0.0, 50.0), y0, method="auto",
+                           rtol=1e-4, atol=1e-8, record_trajectories=True)
+    sw = np.asarray(r.switched)
+    assert sw[:2].all() and not sw[2:].any()
+    cnt = np.asarray(r.n_steps_rec)
+    ts = np.asarray(r.ts)
+    ys = np.asarray(r.ys)
+    for i in range(4):
+        k = int(cnt[i])
+        assert k > 0
+        # Recorded times are strictly increasing and end at the final state.
+        assert np.all(np.diff(ts[i, :k]) > 0)
+        np.testing.assert_allclose(ts[i, k - 1], float(r.t[i]), rtol=1e-12)
+        np.testing.assert_allclose(ys[i, k - 1], np.asarray(r.y)[i],
+                                   rtol=1e-12)
+    # Benign lanes are bit-identical to a plain RK45 recording run.
+    r_ns = solve_ivp_ensemble(rober_k, (0.0, 50.0), y0[2:], method="RK45",
+                              rtol=1e-4, atol=1e-8, record_trajectories=True)
+    k = int(np.asarray(r_ns.n_steps_rec)[0])
+    assert int(cnt[2]) == k
+    np.testing.assert_allclose(ts[2, :k], np.asarray(r_ns.ts)[0, :k])
+    np.testing.assert_allclose(ys[2, :k], np.asarray(r_ns.ys)[0, :k])
+    # Switched lanes recorded strictly more steps than the explicit phase
+    # alone could have before tripping (the stiff tail is included).
+    assert int(cnt[0]) > int(np.asarray(r.naccpt)[2]) // 10
+
+
+def test_ensemble_auto_dense_output_matches_single():
+    """Batched composite sol matches the single-IVP method='auto' dense
+    output on queries spanning both phases."""
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    B = 3
+    rng = np.random.default_rng(1)
+    y0 = np.tile([1.0, 0.0, 0.0], (B, 1))
+    y0[:, 0] += 1e-3 * rng.random(B)
+    r = solve_ivp_ensemble(rober, (0.0, 50.0), y0, method="auto",
+                           rtol=1e-4, atol=1e-8, dense_output=True)
+    assert np.all(np.asarray(r.switched))
+    tq = np.array([1e-3, 0.05, 0.5, 2.0, 10.0, 49.0])  # both phases
+    yq = np.asarray(r.sol(tq))                          # (B, n, m)
+    assert yq.shape == (B, 3, tq.size)
+    for i in range(B):
+        ri = solve_ivp(rober, (0.0, 50.0), y0[i], method="auto",
+                       rtol=1e-4, atol=1e-8, dense_output=True)
+        np.testing.assert_allclose(yq[i], np.asarray(ri.sol(tq)),
+                                   rtol=5e-3, atol=1e-9)
+    # Scalar and per-lane-grid query forms.
+    ys = np.asarray(r.sol(0.5))
+    assert ys.shape == (B, 3)
+    tg = np.tile(tq, (B, 1)) * (1.0 + 1e-3 * rng.random((B, tq.size)))
+    tg.sort(axis=1)
+    yg = np.asarray(r.sol(tg))
+    assert yg.shape == (B, 3, tq.size)
+    # Per-lane spans cover [0, 50] after the switch.
+    tmin, tmax = r.sol.t_span()
+    assert np.all(tmin <= 1e-6) and np.all(tmax >= 50.0 - 1e-6)
+
+
+def test_ensemble_auto_dense_unswitched_lanes():
+    """dense_output with a mixed batch: unswitched lanes evaluate phase 1
+    everywhere (no phase-2 segments exist for them)."""
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    y0 = np.array([[1.0, 0.0, 0.0, 3e7], [1.0, 0.0, 0.0, 10.0]])
+    r = solve_ivp_ensemble(rober_k, (0.0, 50.0), y0, method="auto",
+                           rtol=1e-4, atol=1e-8, dense_output=True)
+    assert np.asarray(r.switched)[0] and not np.asarray(r.switched)[1]
+    tq = np.linspace(0.5, 49.5, 7)
+    yq = np.asarray(r.sol(tq))
+    r_ns = solve_ivp_ensemble(rober_k, (0.0, 50.0), y0[1:], method="RK45",
+                              rtol=1e-4, atol=1e-8, dense_output=True)
+    np.testing.assert_allclose(yq[1], np.asarray(r_ns.sol(tq))[0],
+                               rtol=1e-10)
+    # The switched lane's queried states match a pure-Radau reference.
+    ri = solve_ivp(rober_k, (0.0, 50.0), y0[0], method="Radau",
+                   rtol=1e-4, atol=1e-8, dense_output=True)
+    np.testing.assert_allclose(yq[0], np.asarray(ri.sol(tq)), rtol=5e-3,
+                               atol=1e-9)
