@@ -580,6 +580,7 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                        dense_output: bool = False,
                        record_trajectories: bool = False,
                        rec_chunk: int = 1024,
+                       lane_chunk: Optional[int] = None,
                        time_dtype=None) -> EnsembleResult:
     """Batched solve to final state, executed as a host loop of bounded device
     chunks (no single device call runs unboundedly — robust against runtime
@@ -610,6 +611,14 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     with the stiff engine from their exact reached states, with event
     terminal budgets, sample cursors and counters continuing across the
     switch.  ``result.switched`` marks the resumed lanes.
+
+    ``lane_chunk``: host-loop the lane axis in equal sub-batches of this
+    size (the final sub-batch is padded, one compile total).  Mid-size
+    stiff ensembles (n=16-64) saturate by B=4096-8192 and then fall off a
+    VMEM-tiling cliff (docs/TPU_NOTES.md #31) — chunking keeps every
+    device call at the saturating batch size regardless of total B.
+    Composes with every option here, including dense_output and
+    method="auto".
     """
     if isinstance(jac_sparsity, str) and np.asarray(y0_batch).size:
         # jac_sparsity="auto": host-side structural detection around the
@@ -622,6 +631,21 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
             jac_sparsity,
             lambda t, y: jnp.asarray(fun(t, y, *tuple(args))).reshape(_n_det),
             float(t_span[0]), np.atleast_2d(np.asarray(y0_batch)))
+    if lane_chunk is not None:
+        _y0 = np.atleast_2d(np.asarray(y0_batch))
+        if _y0.shape[0] > int(lane_chunk):
+            return _solve_lane_chunked(
+                fun, t_span, _y0, method, int(lane_chunk),
+                dict(rtol=rtol, atol=atol, args=args, jac=jac,
+                     jac_sparsity=jac_sparsity, max_steps=max_steps,
+                     first_step=first_step, max_step=max_step,
+                     min_step=min_step, dtype=dtype, events=events,
+                     event_capacity=event_capacity, chunk_steps=chunk_steps,
+                     solver_options=solver_options,
+                     max_restarts=max_restarts, dense_output=dense_output,
+                     record_trajectories=record_trajectories,
+                     rec_chunk=rec_chunk, time_dtype=time_dtype),
+                t_eval)
     if isinstance(method, str) and method.lower() == "auto":
         from .auto import solve_ivp_ensemble_auto
         return solve_ivp_ensemble_auto(
@@ -1012,3 +1036,121 @@ def _run_recording(entry, y0_batch, t_span, rtol, atol, method,
         entry, y0_batch, t0, tf, rtol, atol)
     return _recording_result(entry[0], method, carry, counts, ts, ys,
                              xolds, hs, conts, dense_output, t0, y0_batch)
+
+
+# =============================================================================
+# Lane chunking (host loop over equal sub-batches; docs/TPU_NOTES.md #31)
+# =============================================================================
+
+def _lane_slice(v, sl, B, n):
+    """Slice per-lane parameters; pass shared values through (the same
+    per-lane detection convention as _norm_tol)."""
+    if v is None:
+        return None
+    a = np.asarray(v)
+    if a.ndim == 1 and a.shape[0] == B and B != n:
+        return a[sl]
+    if a.ndim == 2 and a.shape[0] == B:
+        return a[sl]
+    return v
+
+
+def _pad_lanes(a, p):
+    """Append p copies of the last lane (tail padding for the final chunk)."""
+    if p == 0 or a is None or np.ndim(a) == 0:
+        return a
+    a = np.asarray(a)
+    return np.concatenate([a, np.repeat(a[-1:], p, axis=0)], axis=0)
+
+
+class ChunkedBatchSolution:
+    """Lane-chunked batched dense solution: per-chunk evaluators
+    (:class:`BatchOdeSolution` or the method="auto"
+    CompositeBatchOdeSolution) concatenated along the lane axis.  Same
+    query surface: scalar / shared (m,) / per-lane (B, m) grids."""
+
+    def __init__(self, sols, counts):
+        self._sols = list(sols)
+        self._counts = [int(c) for c in counts]
+        self.n_lanes = sum(self._counts)
+        self.method = sols[0].method
+        self.t_mins = np.concatenate(
+            [np.asarray(s.t_mins)[:c] for s, c in zip(sols, self._counts)])
+        self.t_maxs = np.concatenate(
+            [np.asarray(s.t_maxs)[:c] for s, c in zip(sols, self._counts)])
+
+    def t_span(self):
+        return self.t_mins, self.t_maxs
+
+    def __call__(self, t):
+        t_arr = np.asarray(t, dtype=float)
+        scalar = t_arr.ndim == 0
+        if t_arr.ndim <= 1:
+            ts = np.broadcast_to(np.atleast_1d(t_arr)[None, :],
+                                 (self.n_lanes, np.atleast_1d(t_arr).size))
+        elif t_arr.ndim == 2:
+            if t_arr.shape[0] != self.n_lanes:
+                raise ValueError(
+                    f"per-lane query grid must have leading dim "
+                    f"{self.n_lanes}, got {t_arr.shape}")
+            ts = t_arr
+        else:
+            raise ValueError("query times must be scalar, (m,) or (B, m)")
+        outs = []
+        off = 0
+        for s, c in zip(self._sols, self._counts):
+            sub = ts[off:off + c]
+            if c < s.n_lanes:  # padded final chunk
+                sub = np.concatenate(
+                    [sub, np.repeat(sub[-1:], s.n_lanes - c, axis=0)])
+            outs.append(np.asarray(s(sub))[:c])
+            off += c
+        out = np.concatenate(outs, axis=0)
+        return out[:, :, 0] if scalar else out
+
+
+def _solve_lane_chunked(fun, t_span, y0_arr, method, lane_chunk, kw,
+                        t_eval) -> EnsembleResult:
+    """Host loop over equal lane sub-batches (final one tail-padded so
+    every device call has the same shape -> one compile), results
+    concatenated back to the full batch."""
+    B, n = y0_arr.shape
+    rtol, atol = kw.pop("rtol"), kw.pop("atol")
+    te_perlane = t_eval is not None and np.asarray(t_eval, float).ndim == 2
+
+    parts = []
+    counts = []
+    for lo in range(0, B, lane_chunk):
+        hi = min(lo + lane_chunk, B)
+        sl = slice(lo, hi)
+        p = lane_chunk - (hi - lo)   # tail padding
+        y0c = _pad_lanes(y0_arr[sl], p)
+        rt = _pad_lanes(_lane_slice(rtol, sl, B, n), p)
+        at = _pad_lanes(_lane_slice(atol, sl, B, n), p)
+        te = (_pad_lanes(np.asarray(t_eval, float)[sl], p) if te_perlane
+              else t_eval)
+        parts.append(solve_ivp_ensemble(
+            fun, t_span, y0c, method, rtol=rt, atol=at, t_eval=te, **kw))
+        counts.append(hi - lo)
+
+    def cat(f):
+        vals = [getattr(r, f) for r in parts]
+        if any(v is None for v in vals):
+            return None
+        if f == "sol":
+            return ChunkedBatchSolution(vals, counts)
+        if f in ("ts", "ys"):   # pad the step axis to the widest chunk
+            S = max(np.asarray(v).shape[1] for v in vals)
+            padded = []
+            for v, c in zip(vals, counts):
+                a = np.asarray(v)[:c]
+                if a.shape[1] < S:
+                    pad = [(0, 0)] * a.ndim
+                    pad[1] = (0, S - a.shape[1])
+                    a = np.pad(a, pad)
+                padded.append(a)
+            return np.concatenate(padded, axis=0)
+        return np.concatenate([np.asarray(v)[:c]
+                               for v, c in zip(vals, counts)], axis=0)
+
+    return EnsembleResult(**{f: cat(f) for f in EnsembleResult._fields})

@@ -535,3 +535,67 @@ def test_ensemble_mixed_directions():
     np.testing.assert_allclose(
         np.asarray(r.y).ravel(),
         [np.exp(-3.0), 1.0, np.exp(-3.0)], rtol=1e-8)
+
+
+# =============================================================================
+# Lane chunking (TPU_NOTES #31: equal sub-batches, padded tail, one compile)
+# =============================================================================
+
+def test_lane_chunk_matches_unchunked():
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    B = 10
+    y0 = np.linspace(1.0, 2.0, B)[:, None]
+    rt = np.geomspace(1e-8, 1e-5, B)           # per-lane rtol slices with lanes
+    te = np.linspace(0.0, 10.0, 7)
+
+    kw = dict(method="RK45", rtol=rt, atol=1e-10, t_eval=te)
+    r0 = solve_ivp_ensemble(lambda t, y: -0.5 * y, (0.0, 10.0), y0, **kw)
+    r1 = solve_ivp_ensemble(lambda t, y: -0.5 * y, (0.0, 10.0), y0,
+                            lane_chunk=4, **kw)   # chunks 4 + 4 + 2(padded)
+    for f in ("t", "y", "status", "nfev", "nstep", "naccpt", "nrejct",
+              "y_samples", "n_samples"):
+        np.testing.assert_array_equal(np.asarray(getattr(r0, f)),
+                                      np.asarray(getattr(r1, f)), err_msg=f)
+
+
+def test_lane_chunk_dense_output():
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    B = 6
+    y0 = np.stack([np.linspace(0.5, 1.5, B), np.zeros(B)], axis=1)
+
+    def sho(t, y):
+        return jnp.array([y[1], -y[0]])
+
+    kw = dict(method="DOP853", rtol=1e-9, atol=1e-11, dense_output=True)
+    r0 = solve_ivp_ensemble(sho, (0.0, 10.0), y0, **kw)
+    r1 = solve_ivp_ensemble(sho, (0.0, 10.0), y0, lane_chunk=4, **kw)
+    np.testing.assert_array_equal(np.asarray(r0.n_steps_rec),
+                                  np.asarray(r1.n_steps_rec))
+    tq = np.linspace(0.0, 10.0, 23)
+    np.testing.assert_allclose(np.asarray(r1.sol(tq)),
+                               np.asarray(r0.sol(tq)), rtol=1e-12, atol=0)
+    # scalar + per-lane grids through the chunked evaluator
+    assert np.asarray(r1.sol(5.0)).shape == (B, 2)
+    tg = np.tile(tq, (B, 1))
+    np.testing.assert_allclose(np.asarray(r1.sol(tg)),
+                               np.asarray(r0.sol(tq)), rtol=1e-12, atol=0)
+    tmin, tmax = r1.sol.t_span()
+    assert tmin.shape == (B,) and np.all(tmax >= 10.0 - 1e-9)
+
+
+def test_lane_chunk_auto_routing():
+    from ivp_tpu.batch import solve_ivp_ensemble
+    from tests.test_auto import rober_k
+
+    y0 = np.array([[1.0, 0.0, 0.0, 3e7]] * 2 + [[1.0, 0.0, 0.0, 10.0]] * 3)
+    r = solve_ivp_ensemble(rober_k, (0.0, 50.0), y0, method="auto",
+                           rtol=1e-4, atol=1e-8, lane_chunk=2)
+    sw = np.asarray(r.switched)
+    assert sw[:2].all() and not sw[2:].any()
+    assert np.all(np.asarray(r.status) == 0)
+    r0 = solve_ivp_ensemble(rober_k, (0.0, 50.0), y0, method="auto",
+                            rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(r.y), np.asarray(r0.y),
+                               rtol=1e-10, atol=1e-12)
