@@ -59,7 +59,10 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                       mesh: Optional[Mesh] = None, axis: str = "data",
                       dtype=None, events=None, event_capacity: int = 16,
                       t_eval=None, solver_options: Optional[dict] = None,
-                      max_restarts: int = 0, args_batched: bool = False):
+                      max_restarts: int = 0, args_batched: bool = False,
+                      dense_output: bool = False,
+                      record_trajectories: bool = False,
+                      rec_chunk: int = 1024, time_dtype=None):
     """Batched solve with the ensemble axis sharded over a device mesh.
 
     The batch size must be divisible by the mesh size.  The full per-lane
@@ -75,6 +78,12 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
 
     Per-lane inputs are passed as sharded *arguments* (not closure constants)
     so shard_map slices them alongside ``y0_batch``.
+
+    ``record_trajectories`` / ``dense_output``: the batched per-step
+    recording tier (ivp_tpu/batch.py) over the mesh — each drain chunk is a
+    shard_map (one independent while-loop per device, no hot-loop
+    collectives); the host gathers and concatenates record buffers between
+    chunks, exactly as in :func:`ivp_tpu.batch.solve_ivp_ensemble`.
     """
     y0_batch = jnp.atleast_2d(jnp.asarray(y0_batch))
     B, n = y0_batch.shape
@@ -91,6 +100,25 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
             float(np.asarray(t_span[0]).reshape(-1)[0]), y0_batch)
     if mesh is None:
         mesh = make_mesh(axis=axis)
+    if dense_output or record_trajectories:
+        if args_batched:
+            raise ValueError(
+                "dense_output/record_trajectories do not compose with "
+                "args_batched in the sharded facade yet; use "
+                "solve_ivp_ensemble(lane_chunk=...) on one chip")
+        if np.ndim(t_span[0]) or np.ndim(t_span[1]):
+            raise ValueError(
+                "per-lane t_span does not compose with the sharded "
+                "recording tier; pass a scalar (t0, tf)")
+        return _solve_sharded_recording(
+            fun, t_span, y0_batch, method, mesh, axis,
+            rtol=rtol, atol=atol, args=args, jac=jac,
+            jac_sparsity=jac_sparsity, max_steps=max_steps,
+            max_step=max_step, min_step=min_step, dtype=dtype,
+            events=events, event_capacity=event_capacity, t_eval=t_eval,
+            solver_options=solver_options, max_restarts=max_restarts,
+            dense_output=dense_output, rec_chunk=rec_chunk,
+            time_dtype=time_dtype)
     solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,
                                    args=tuple(args), jac=jac,
                                    jac_sparsity=jac_sparsity,
@@ -167,3 +195,76 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                   put(grid_v, spec_g),
                   (tuple(jax.device_put(a, sh) for a in bargs_v)
                    if bargs_v is not None else None))
+
+
+def _solve_sharded_recording(fun, t_span, y0_batch, method, mesh, axis, *,
+                             rtol, atol, args, jac, jac_sparsity, max_steps,
+                             max_step, min_step, dtype, events,
+                             event_capacity, t_eval, solver_options,
+                             max_restarts, dense_output, rec_chunk,
+                             time_dtype):
+    """Batched per-step recording over a device mesh.
+
+    The host chunk-drain loop of :func:`ivp_tpu.batch.solve_ivp_ensemble`
+    runs unchanged; each drain chunk executes as a ``shard_map`` of the
+    vmapped recording driver (one independent while-loop per device — no
+    collectives inside), with the carry pytree sharded over the lane axis.
+    The host gathers record buffers between chunks, so device memory stays
+    bounded per chip.
+    """
+    from ..batch import build_recording_solver, _run_recording
+
+    B, n = y0_batch.shape
+    ndev = mesh.devices.size
+    if B % ndev:
+        raise ValueError(
+            f"batch size {B} must divide the mesh size {ndev}")
+    entry = build_recording_solver(
+        fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
+        jac_sparsity=jac_sparsity, max_steps=max_steps, max_step=max_step,
+        min_step=min_step, events=events, event_capacity=event_capacity,
+        t_eval=t_eval, solver_options=solver_options,
+        max_restarts=max_restarts, dense_output=dense_output,
+        rec_chunk=rec_chunk, time_dtype=time_dtype)
+    engine, start, run_vchunk, vreset, dense = entry
+    sh = NamedSharding(mesh, P(axis))
+    smap = _shard_map()
+    state = {}
+
+    def _ra_spec(ra):
+        """PartitionSpec tree for RunArgs: per-lane fields shard with the
+        lanes, shared scalars/grids replicate."""
+        return type(ra)(
+            tend=None,
+            rtol=P(axis) if ra.rtol.ndim == 2 else None,
+            atol=P(axis) if ra.atol.ndim == 2 else None,
+            hmax=None, hmin=None, max_steps=None,
+            t_grid=(P(axis) if (ra.t_grid is not None
+                                and ra.t_grid.ndim == 2) else None))
+
+    def sh_start(y0b, t0, tf, rt, at):
+        carry, ra = start(y0b, t0, tf, rt, at)
+        carry = jax.device_put(carry, sh)
+
+        def put(v, per_lane):
+            return jax.device_put(
+                v, NamedSharding(mesh, P(axis) if per_lane else P()))
+
+        ra = ra._replace(
+            rtol=put(ra.rtol, ra.rtol.ndim == 2),
+            atol=put(ra.atol, ra.atol.ndim == 2),
+            t_grid=(put(ra.t_grid, ra.t_grid.ndim == 2)
+                    if ra.t_grid is not None else None))
+        return carry, ra
+
+    def run_sharded(carry, ra):
+        if "runner" not in state:
+            state["runner"] = jax.jit(smap(
+                lambda c, r: run_vchunk(c, r), mesh=mesh,
+                in_specs=(P(axis), _ra_spec(ra)), out_specs=P(axis),
+                check_vma=False))
+        return state["runner"](carry, ra)
+
+    entry2 = (engine, sh_start, run_sharded, vreset, dense)
+    return _run_recording(entry2, np.asarray(y0_batch), t_span, rtol, atol,
+                          method, dense_output)

@@ -599,3 +599,63 @@ def test_lane_chunk_auto_routing():
                             rtol=1e-4, atol=1e-8)
     np.testing.assert_allclose(np.asarray(r.y), np.asarray(r0.y),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_dense_output_8_devices():
+    """Batched dense output / trajectory records over the mesh: each drain
+    chunk is a per-device while-loop; results match the one-chip ensemble
+    recording tier exactly (same compiled engine, same step sequences)."""
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(3)
+    B = 32
+    y0s = np.array([2.0, 0.0]) + 0.1 * rng.standard_normal((B, 2))
+    res = solve_ivp_sharded(vdp, (0.0, 10.0), y0s, method="RK45",
+                            rtol=1e-6, atol=1e-8, dense_output=True,
+                            rec_chunk=64)  # force several drain chunks
+    ref = solve_ivp_ensemble(vdp, (0.0, 10.0), y0s, method="RK45",
+                             rtol=1e-6, atol=1e-8, dense_output=True,
+                             rec_chunk=64)
+    assert np.all(np.asarray(res.status) == Status.SUCCESS)
+    np.testing.assert_array_equal(np.asarray(res.n_steps_rec),
+                                  np.asarray(ref.n_steps_rec))
+    np.testing.assert_allclose(np.asarray(res.ts), np.asarray(ref.ts),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.ys), np.asarray(ref.ys),
+                               rtol=1e-10, atol=1e-12)
+    tq = np.linspace(0.0, 10.0, 17)
+    np.testing.assert_allclose(np.asarray(res.sol(tq)),
+                               np.asarray(ref.sol(tq)),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_record_trajectories_events_per_lane_grid():
+    """record_trajectories + events + per-lane t_eval grids through the
+    sharded recording tier."""
+    assert len(jax.devices()) == 8
+    B = 16
+    y0 = np.stack([np.full(B, 10.0), np.linspace(0.0, 1.0, B)], axis=1)
+
+    def ball(t, y):
+        return jnp.array([y[1], -9.81])
+
+    def hit(t, y):
+        return y[0]
+    hit.terminal = True
+    hit.direction = -1
+
+    tg = np.tile(np.linspace(0.0, 1.0, 5), (B, 1))
+    res = solve_ivp_sharded(ball, (0.0, 10.0), y0, method="RK45",
+                            rtol=1e-9, atol=1e-11, events=[hit], t_eval=tg,
+                            record_trajectories=True)
+    ref = solve_ivp_ensemble(ball, (0.0, 10.0), y0, method="RK45",
+                             rtol=1e-9, atol=1e-11, events=[hit], t_eval=tg,
+                             record_trajectories=True)
+    np.testing.assert_allclose(np.asarray(res.t_events),
+                               np.asarray(ref.t_events), rtol=1e-10)
+    np.testing.assert_array_equal(np.asarray(res.n_events),
+                                  np.asarray(ref.n_events))
+    np.testing.assert_allclose(np.asarray(res.y_samples),
+                               np.asarray(ref.y_samples), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(res.n_steps_rec),
+                                  np.asarray(ref.n_steps_rec))
