@@ -87,6 +87,13 @@ class BDFParams:
 # n at or below which "auto" uses the explicit-inverse linear path.
 INV_AUTO_N = 8
 
+# f32-factorization window where the explicit inverse beats scan-LU in the
+# real hot loop (benches/inverse_midsize_ab.py: BDF mixed n=32 1.13x,
+# 1365 vs 1204 IVPs/s, identical step counts; Radau 1.22x — and Radau
+# loses 1.8x by n=64, so the window closes there).  See
+# radau.INV_AUTO_N_F32.
+INV_AUTO_N_F32 = 32
+
 # n below which "auto" prefers dense LU over the banded cyclic-reduction
 # backend even when a narrow band is known (see radau.BANDED_AUTO_MIN_N:
 # scan-based dense substitutions moved the measured ensemble crossover
@@ -105,7 +112,7 @@ def _backend_kind(p) -> str:
         if p.band is None:
             raise ValueError("linear_mode='banded' requires band=(ml, mu)")
         return "banded"
-    if p.n <= INV_AUTO_N:
+    if p.n <= (INV_AUTO_N_F32 if p.factor_f32 else INV_AUTO_N):
         return "inverse"
     if (p.band is not None and p.n >= BANDED_AUTO_MIN_N
             and not p.factor_f32

@@ -120,6 +120,15 @@ class RadauParams:
 # n at or below which "auto" uses the explicit-inverse linear path.
 INV_AUTO_N = 8
 
+# With f32 factorizations (mixed Newton / f32 state / dd — the factor_f32
+# hint) the explicit inverse stays ahead of scan-LU further: one n-RHS
+# substitution sweep at factor time turns every Newton solve into a fused
+# broadcast matvec.  Measured in the real hot loop (interleaved A/B,
+# benches/inverse_midsize_ab.py, Brusselator mixed ensembles): 1.22x at
+# n=32 (3654 vs 2987 IVPs/s, identical step counts) but 0.56x by n=64 —
+# the O(n^3) inverse build overtakes the per-solve savings.
+INV_AUTO_N_F32 = 32
+
 # n below which "auto" prefers dense LU over the banded cyclic-reduction
 # backend even when a narrow band is known: with scan-based substitutions
 # dense LU wins the bw-2 Brusselator ensemble at n=32 (1064 vs 845-901
@@ -194,7 +203,7 @@ def _backend_kind(p: RadauParams) -> str:
         return "banded"
     # auto: small systems invert outright; large narrow-band systems (no
     # mass matrix — its band is not tracked) use cyclic reduction; else LU.
-    if p.n <= INV_AUTO_N:
+    if p.n <= (INV_AUTO_N_F32 if p.factor_f32 else INV_AUTO_N):
         return "inverse"
     if (p.band is not None and not p.has_mass
             and p.n >= BANDED_AUTO_MIN_N

@@ -125,10 +125,11 @@ def test_mass_matrix_radau():
 
 def test_linear_backend_auto_routing():
     """Auto linear-backend routing encodes the measured crossovers
-    (docs/BENCH.md mid-size table): inverse for n<=8, dense LU up to
-    n<48 even with a known band, banded CR from n>=48 for full-f64
-    Newton only — f32 factorizations (mixed Newton, factor_f32 hint,
-    i.e. f32 state / dd) stay on dense scan-LU."""
+    (docs/BENCH.md mid-size table): inverse for n<=8 (n<=32 under the
+    batched-f32 factor_f32 hint, benches/inverse_midsize_ab.py), dense
+    LU up to n<48 even with a known band, banded CR from n>=48 for
+    full-f64 Newton only — f32 factorizations (mixed Newton, factor_f32
+    hint, i.e. f32 state / dd) stay dense (inverse then scan-LU)."""
     from ivp_tpu.methods.radau import RadauParams, _backend_kind
     from ivp_tpu.methods import bdf as bdf_mod
 
@@ -143,6 +144,10 @@ def test_linear_backend_auto_routing():
     # ensemble-facade factor_f32 hint.
     assert kind(n=64, band=(2, 2), newton_precision="mixed") == "banded"
     assert kind(n=64, band=(2, 2), factor_f32=True) == "lu"
+    # Batched-f32 inverse window: n<=32 with the hint, never without.
+    assert kind(n=32, factor_f32=True) == "inverse"
+    assert kind(n=32, band=(2, 2), factor_f32=True) == "inverse"
+    assert kind(n=33, factor_f32=True) == "lu"
     assert kind(n=64, band=(11, 11)) == "lu"         # band too wide (3w > n)
     assert kind(n=64, band=(2, 2),
                 linear_mode="banded") == "banded"    # explicit forces CR
@@ -154,6 +159,8 @@ def test_linear_backend_auto_routing():
     assert bkind(n=64, band=(2, 2)) == "banded"
     assert bkind(n=64, band=(2, 2), newton_precision="mixed") == "banded"
     assert bkind(n=64, band=(2, 2), factor_f32=True) == "lu"
+    assert bkind(n=32, factor_f32=True) == "inverse"
+    assert bkind(n=33, factor_f32=True) == "lu"
 
     # The ensemble facade sets the hint for f32 state and mixed Newton.
     from ivp_tpu.batch import _auto_band_opts
