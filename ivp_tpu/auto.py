@@ -145,6 +145,13 @@ class CompositeBatchOdeSolution:
         self._idx = np.asarray(idx)
         self._tsw = np.asarray(t_switch, float)   # (len(idx),)
         self._fwd = bool(forward)
+        # A switched lane whose stiff phase recorded zero accepted steps
+        # (immediate phase-2 failure; its status flags it) has no valid
+        # phase-2 interpolant — keep phase-1/extrapolated values for it
+        # rather than evaluating zeroed dense coefficients.
+        cnt2 = getattr(sol2, "_counts", None)
+        self._has2 = (np.asarray(cnt2) > 0 if cnt2 is not None
+                      else np.ones(self._idx.size, dtype=bool))
         self.n_lanes = sol1.n_lanes
         self.method = (sol1.method, sol2.method)
         self.t_mins = np.asarray(sol1.t_mins).copy()
@@ -176,7 +183,8 @@ class CompositeBatchOdeSolution:
         if self._idx.size and ts.shape[1]:
             sub = np.asarray(self._s2(ts[self._idx]))       # (B2, n, m)
             sgn = 1.0 if self._fwd else -1.0
-            past = (ts[self._idx] - self._tsw[:, None]) * sgn >= 0.0
+            past = ((ts[self._idx] - self._tsw[:, None]) * sgn >= 0.0) \
+                & self._has2[:, None]
             out[self._idx] = np.where(past[:, None, :], sub,
                                       out[self._idx])
         return out[:, :, 0] if scalar else out

@@ -630,7 +630,8 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
         jac_sparsity = resolve_jac_sparsity(
             jac_sparsity,
             lambda t, y: jnp.asarray(fun(t, y, *tuple(args))).reshape(_n_det),
-            float(t_span[0]), np.atleast_2d(np.asarray(y0_batch)))
+            float(t_span[0]), np.atleast_2d(np.asarray(y0_batch)),
+            t1=float(t_span[1]))
     if lane_chunk is not None:
         _y0 = np.atleast_2d(np.asarray(y0_batch))
         if _y0.shape[0] > int(lane_chunk):
@@ -1042,14 +1043,26 @@ def _run_recording(entry, y0_batch, t_span, rtol, atol, method,
 # Lane chunking (host loop over equal sub-batches; docs/TPU_NOTES.md #31)
 # =============================================================================
 
-def _lane_slice(v, sl, B, n):
-    """Slice per-lane parameters; pass shared values through (the same
-    per-lane detection convention as _norm_tol)."""
+def _disambiguate_tol(v, B, n):
+    """Resolve a tolerance's lane/component interpretation at the ORIGINAL
+    (B, n) before chunking: a per-lane 1-D (B,) vector becomes (B, 1) so a
+    chunk sub-solve can never reinterpret the sliced vector as per-state
+    when the chunk size collides with n (the _norm_tol ambiguity rule must
+    be applied once, against the full batch, not per chunk)."""
     if v is None:
         return None
     a = np.asarray(v)
     if a.ndim == 1 and a.shape[0] == B and B != n:
-        return a[sl]
+        return a[:, None]
+    return v
+
+
+def _lane_slice(v, sl, B):
+    """Slice per-lane (2-D, leading dim B) parameters; pass shared values
+    through.  1-D inputs must be disambiguated first (_disambiguate_tol)."""
+    if v is None:
+        return None
+    a = np.asarray(v)
     if a.ndim == 2 and a.shape[0] == B:
         return a[sl]
     return v
@@ -1115,7 +1128,8 @@ def _solve_lane_chunked(fun, t_span, y0_arr, method, lane_chunk, kw,
     every device call has the same shape -> one compile), results
     concatenated back to the full batch."""
     B, n = y0_arr.shape
-    rtol, atol = kw.pop("rtol"), kw.pop("atol")
+    rtol = _disambiguate_tol(kw.pop("rtol"), B, n)
+    atol = _disambiguate_tol(kw.pop("atol"), B, n)
     te_perlane = t_eval is not None and np.asarray(t_eval, float).ndim == 2
 
     parts = []
@@ -1125,8 +1139,8 @@ def _solve_lane_chunked(fun, t_span, y0_arr, method, lane_chunk, kw,
         sl = slice(lo, hi)
         p = lane_chunk - (hi - lo)   # tail padding
         y0c = _pad_lanes(y0_arr[sl], p)
-        rt = _pad_lanes(_lane_slice(rtol, sl, B, n), p)
-        at = _pad_lanes(_lane_slice(atol, sl, B, n), p)
+        rt = _pad_lanes(_lane_slice(rtol, sl, B), p)
+        at = _pad_lanes(_lane_slice(atol, sl, B), p)
         te = (_pad_lanes(np.asarray(t_eval, float)[sl], p) if te_perlane
               else t_eval)
         parts.append(solve_ivp_ensemble(

@@ -62,18 +62,25 @@ def column_groups(sparsity) -> tuple[np.ndarray, int]:
     return groups, len(group_rows)
 
 
-def detect_jac_sparsity(rhs, t0, y0, *, probes: int = 3,
+def detect_jac_sparsity(rhs, t0, y0, *, t1=None, probes: int = 3,
                         seed: int = 0) -> np.ndarray:
     """Detect the structural sparsity pattern of d(rhs)/dy by probing.
 
     Evaluates the dense Jacobian (``jax.jacfwd``) at ``probes`` jittered
-    points around ``y0`` and ORs the nonzero patterns — entries that are
-    structurally zero stay exactly 0.0 under autodiff, while incidental
+    points around ``(t0, y0)`` and ORs the nonzero patterns — entries that
+    are structurally zero stay exactly 0.0 under autodiff, while incidental
     zeros (cancellation at one particular state) survive the multi-probe OR
     with overwhelming probability.  One-time host cost of ``probes`` dense
     Jacobians; the result feeds the grouped-FD evaluator and the banded
     backend exactly like a user-supplied pattern (``jac_sparsity="auto"``
     in the facades).
+
+    ``t`` is jittered as well as ``y``: for a nonautonomous system whose
+    coupling terms vanish identically at ``t0`` (e.g. ``t0=0`` with
+    t-scaled terms) a fixed-``t0`` probe would miss true entries.  Pass
+    ``t1`` (the other span endpoint) so the t-probes land inside the
+    actual integration interval; without it the probes jitter around
+    ``t0`` at unit scale.
 
     The reference requires the user to hand over a scipy sparse pattern
     (src/python/sparsity.rs:30-92); detection is a TPU-build extension.
@@ -84,27 +91,37 @@ def detect_jac_sparsity(rhs, t0, y0, *, probes: int = 3,
     n = y0.shape[0]
     rng = np.random.default_rng(seed)
     scale = np.maximum(np.abs(np.asarray(y0, float)), 1.0)
+    t0 = float(t0)
+    if t1 is not None and np.isfinite(float(t1)) and float(t1) != t0:
+        # interior fractions of the span (avoid both endpoints — either may
+        # be a degenerate instant of the coupling terms)
+        t_probes = [t0 + frac * (float(t1) - t0)
+                    for frac in (0.37, 0.61, 0.83, 0.19, 0.52)]
+    else:
+        tsc = max(abs(t0), 1.0)
+        t_probes = [t0 + frac * tsc for frac in (0.37, -0.29, 0.83, 0.11, 0.57)]
     pat = np.zeros((n, n), dtype=bool)
-    jfun = jax.jit(jax.jacfwd(lambda yy: rhs(t0, yy)))
+    jfun = jax.jit(jax.jacfwd(lambda tt, yy: rhs(tt, yy), argnums=1))
     for k in range(max(1, probes)):
         if k == 0:
-            yp = y0
+            yp, tp = y0, t0
         else:
             yp = (y0 * (1.0 + 0.05 * rng.standard_normal(n))
                   + 0.01 * scale * rng.standard_normal(n)).astype(y0.dtype)
-        J = np.asarray(jfun(jnp.asarray(yp)))
+            tp = t_probes[(k - 1) % len(t_probes)]
+        J = np.asarray(jfun(jnp.asarray(tp, y0.dtype), jnp.asarray(yp)))
         pat |= J != 0.0
     return pat
 
 
-def resolve_jac_sparsity(jac_sparsity, rhs, t0, y0):
+def resolve_jac_sparsity(jac_sparsity, rhs, t0, y0, t1=None):
     """Facade helper: pass through explicit patterns, detect on "auto"."""
     if isinstance(jac_sparsity, str):
         if jac_sparsity != "auto":
             raise ValueError(
                 f"jac_sparsity must be a sparsity pattern or 'auto'; "
                 f"got {jac_sparsity!r}")
-        return detect_jac_sparsity(rhs, t0, y0)
+        return detect_jac_sparsity(rhs, t0, y0, t1=t1)
     return jac_sparsity
 
 

@@ -16,6 +16,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..batch import build_ensemble_solver
+from ..core.cache import LRUCache
+
+# Built solvers + jitted shard_map runners, keyed by (mesh, problem
+# signature): repeated sharded solves must not pay builder + trace +
+# compile again (same discipline as batch.py::_ENSEMBLE_CACHE).
+_SHARDED_CACHE = LRUCache(maxsize=32)
+
+
+def _mesh_key(mesh: Mesh, axis: str):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, axis)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -97,9 +107,24 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
         jac_sparsity = resolve_jac_sparsity(
             jac_sparsity,
             lambda t, y: jnp.asarray(fun(t, y, *probe_args)).reshape(n),
-            float(np.asarray(t_span[0]).reshape(-1)[0]), y0_batch)
+            float(np.asarray(t_span[0]).reshape(-1)[0]), y0_batch,
+            t1=float(np.asarray(t_span[1]).reshape(-1)[0]))
     if mesh is None:
         mesh = make_mesh(axis=axis)
+    from ..batch import _hashable
+    from ..types import canonical_method
+    prob_key = (_mesh_key(mesh, axis), canonical_method(method)
+                if isinstance(method, str) else method,
+                n, str(dtype), _hashable(fun),
+                tuple(_hashable(a) for a in tuple(args)), _hashable(jac),
+                _hashable(jac_sparsity), max_steps, max_step, min_step,
+                tuple(_hashable(e) for e in (events or [])), event_capacity,
+                (np.asarray(t_eval, float).shape,
+                 np.asarray(t_eval, float).tobytes())
+                if t_eval is not None else None,
+                tuple(sorted((k, _hashable(v))
+                             for k, v in (solver_options or {}).items())),
+                max_restarts, args_batched, str(time_dtype))
     if dense_output or record_trajectories:
         if args_batched:
             raise ValueError(
@@ -111,7 +136,7 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                 "per-lane t_span does not compose with the sharded "
                 "recording tier; pass a scalar (t0, tf)")
         return _solve_sharded_recording(
-            fun, t_span, y0_batch, method, mesh, axis,
+            fun, t_span, y0_batch, method, mesh, axis, prob_key=prob_key,
             rtol=rtol, atol=atol, args=args, jac=jac,
             jac_sparsity=jac_sparsity, max_steps=max_steps,
             max_step=max_step, min_step=min_step, dtype=dtype,
@@ -119,17 +144,19 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
             solver_options=solver_options, max_restarts=max_restarts,
             dense_output=dense_output, rec_chunk=rec_chunk,
             time_dtype=time_dtype)
-    solver = build_ensemble_solver(fun, method, n=n, dtype=dtype,
-                                   args=tuple(args), jac=jac,
-                                   jac_sparsity=jac_sparsity,
-                                   max_steps=max_steps,
-                                   max_step=max_step, min_step=min_step,
-                                   events=events,
-                                   event_capacity=event_capacity,
-                                   t_eval=t_eval,
-                                   solver_options=solver_options,
-                                   max_restarts=max_restarts,
-                                   args_batched=args_batched)
+    solver = _SHARDED_CACHE.get_or_build(
+        ("solver",) + prob_key,
+        lambda: build_ensemble_solver(fun, method, n=n, dtype=dtype,
+                                      args=tuple(args), jac=jac,
+                                      jac_sparsity=jac_sparsity,
+                                      max_steps=max_steps,
+                                      max_step=max_step, min_step=min_step,
+                                      events=events,
+                                      event_capacity=event_capacity,
+                                      t_eval=t_eval,
+                                      solver_options=solver_options,
+                                      max_restarts=max_restarts,
+                                      args_batched=args_batched))
 
     def _norm_tol_spec(v):
         """(value, spec): per-lane tolerances are normalized to (B, k) BEFORE
@@ -176,16 +203,24 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                                  f"batch dim {B}, got {a.shape}")
         specs_args = tuple(P(axis) for _ in bargs_v)
 
-    sharded = _shard_map()(
-        lambda y0, t0, tf, r, a, g, ba: solver(y0, t0, tf, r, a,
-                                               t_grid=g, batched_args=ba),
-        mesh=mesh,
-        in_specs=(P(axis), spec_t0, spec_tf, spec_r, spec_a, spec_g,
-                  specs_args),
-        out_specs=P(axis),
-        check_vma=False,
-    )
-    runner = jax.jit(sharded)
+    spec_sig = (spec_t0 is not None, spec_tf is not None,
+                spec_r is not None, spec_a is not None, spec_g is not None,
+                len(specs_args) if specs_args is not None else None)
+
+    def _build_runner():
+        sharded = _shard_map()(
+            lambda y0, t0, tf, r, a, g, ba: solver(y0, t0, tf, r, a,
+                                                   t_grid=g, batched_args=ba),
+            mesh=mesh,
+            in_specs=(P(axis), spec_t0, spec_tf, spec_r, spec_a, spec_g,
+                      specs_args),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    runner = _SHARDED_CACHE.get_or_build(
+        ("runner",) + prob_key + (spec_sig,), _build_runner)
 
     sh = NamedSharding(mesh, P(axis))
     y0_batch = jax.device_put(y0_batch, sh)
@@ -198,8 +233,8 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
 
 
 def _solve_sharded_recording(fun, t_span, y0_batch, method, mesh, axis, *,
-                             rtol, atol, args, jac, jac_sparsity, max_steps,
-                             max_step, min_step, dtype, events,
+                             prob_key, rtol, atol, args, jac, jac_sparsity,
+                             max_steps, max_step, min_step, dtype, events,
                              event_capacity, t_eval, solver_options,
                              max_restarts, dense_output, rec_chunk,
                              time_dtype):
@@ -219,17 +254,19 @@ def _solve_sharded_recording(fun, t_span, y0_batch, method, mesh, axis, *,
     if B % ndev:
         raise ValueError(
             f"batch size {B} must divide the mesh size {ndev}")
-    entry = build_recording_solver(
-        fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
-        jac_sparsity=jac_sparsity, max_steps=max_steps, max_step=max_step,
-        min_step=min_step, events=events, event_capacity=event_capacity,
-        t_eval=t_eval, solver_options=solver_options,
-        max_restarts=max_restarts, dense_output=dense_output,
-        rec_chunk=rec_chunk, time_dtype=time_dtype)
+    rec_key = ("recording",) + prob_key + (dense_output, rec_chunk)
+    entry = _SHARDED_CACHE.get_or_build(
+        rec_key, lambda: build_recording_solver(
+            fun, method, n=n, dtype=dtype, args=tuple(args), jac=jac,
+            jac_sparsity=jac_sparsity, max_steps=max_steps,
+            max_step=max_step, min_step=min_step, events=events,
+            event_capacity=event_capacity, t_eval=t_eval,
+            solver_options=solver_options, max_restarts=max_restarts,
+            dense_output=dense_output, rec_chunk=rec_chunk,
+            time_dtype=time_dtype))
     engine, start, run_vchunk, vreset, dense = entry
     sh = NamedSharding(mesh, P(axis))
     smap = _shard_map()
-    state = {}
 
     def _ra_spec(ra):
         """PartitionSpec tree for RunArgs: per-lane fields shard with the
@@ -258,12 +295,15 @@ def _solve_sharded_recording(fun, t_span, y0_batch, method, mesh, axis, *,
         return carry, ra
 
     def run_sharded(carry, ra):
-        if "runner" not in state:
-            state["runner"] = jax.jit(smap(
+        spec_sig = (ra.rtol.ndim, ra.atol.ndim,
+                    ra.t_grid.ndim if ra.t_grid is not None else None)
+        runner = _SHARDED_CACHE.get_or_build(
+            rec_key + ("runner", spec_sig),
+            lambda: jax.jit(smap(
                 lambda c, r: run_vchunk(c, r), mesh=mesh,
                 in_specs=(P(axis), _ra_spec(ra)), out_specs=P(axis),
-                check_vma=False))
-        return state["runner"](carry, ra)
+                check_vma=False)))
+        return runner(carry, ra)
 
     entry2 = (engine, sh_start, run_sharded, vreset, dense)
     return _run_recording(entry2, np.asarray(y0_batch), t_span, rtol, atol,

@@ -313,7 +313,8 @@ def solve_ivp(
     # requires an explicit scipy pattern, src/python/sparsity.rs:30-92).
     if isinstance(jac_sparsity, str):
         from .core.sparsity import resolve_jac_sparsity
-        jac_sparsity = resolve_jac_sparsity(jac_sparsity, rhs, t0, y0_arr)
+        jac_sparsity = resolve_jac_sparsity(jac_sparsity, rhs, t0, y0_arr,
+                                            t1=tf)
 
     jac_fn, const_jac = _normalize_jac(
         jac, rhs, n, dtype, args, jac_sparsity=jac_sparsity,

@@ -359,3 +359,39 @@ def test_ensemble_auto_dense_unswitched_lanes():
                    rtol=1e-4, atol=1e-8, dense_output=True)
     np.testing.assert_allclose(yq[0], np.asarray(ri.sol(tq)), rtol=5e-3,
                                atol=1e-9)
+
+
+def test_composite_batch_sol_zero_step_phase2_lane():
+    # Regression (ADVICE round 3): a switched lane whose stiff phase
+    # recorded ZERO accepted steps must keep phase-1/extrapolated values
+    # past its switch time instead of evaluating zeroed phase-2 dense
+    # coefficients.
+    from ivp_tpu.auto import CompositeBatchOdeSolution
+    from ivp_tpu.batch import BatchOdeSolution
+
+    interp = lambda cont, xold, h, t: cont[0]   # constant-per-segment
+
+    def mksol(vals, xolds, hs, edges, counts, t0, y0):
+        B = len(vals)
+        conts = np.asarray(vals, float).reshape(B, 1, 1, 1)
+        return BatchOdeSolution(
+            "RK45", interp, np.asarray(xolds, float).reshape(B, 1),
+            np.asarray(hs, float).reshape(B, 1),
+            conts, np.asarray(edges, float).reshape(B, 1),
+            np.asarray(counts), t0, np.asarray(y0, float).reshape(B, 1))
+
+    # phase 1: 3 lanes, one segment [0, 1] each, constant values 1/2/3
+    s1 = mksol([1.0, 2.0, 3.0], [0, 0, 0], [1, 1, 1], [1, 1, 1],
+               [1, 1, 1], 0.0, [1.0, 2.0, 3.0])
+    # phase 2 (switched lanes 1 and 2): lane 1 has a real segment [1, 2]
+    # valued 20; lane 2 recorded zero steps (zeroed coefficients)
+    s2 = mksol([20.0, 0.0], [1, 0], [1, 1], [2, 0], [1, 0],
+               np.array([1.0, 1.0]), [20.0, 99.0])
+
+    comp = CompositeBatchOdeSolution(s1, s2, idx=np.array([1, 2]),
+                                     t_switch=np.array([1.0, 1.0]),
+                                     forward=True)
+    out = np.asarray(comp(1.5))                  # (B, n)
+    assert out[0, 0] == 1.0                      # unswitched: phase 1
+    assert out[1, 0] == 20.0                     # switched: phase 2 segment
+    assert out[2, 0] == 3.0, "zero-step phase-2 lane must fall back to phase 1"

@@ -84,3 +84,20 @@ def test_bad_string_rejected():
     with pytest.raises(ValueError, match="jac_sparsity"):
         solve_ivp(brusselator, (0.0, 1.0), _y0(), method="Radau",
                   jac_sparsity="atuo")
+
+
+def test_nonautonomous_coupling_vanishing_at_t0():
+    # Coupling term t*y1 vanishes identically at t0=0: a fixed-t0 probe
+    # would miss pattern entry (0, 1).  t is jittered inside the span
+    # alongside y (ADVICE round 3, core/sparsity.py).
+    def rhs(t, y):
+        return jnp.array([-y[0] + t * y[1], -2.0 * y[1]])
+
+    pat = detect_jac_sparsity(rhs, 0.0, np.array([1.0, 1.0]), t1=10.0)
+    assert pat[0, 1], "t-dependent coupling must survive detection"
+    expected = np.array([[True, True], [False, True]])
+    np.testing.assert_array_equal(pat, expected)
+
+    # And without t1: unit-scale jitter around t0 still catches it.
+    pat2 = detect_jac_sparsity(rhs, 0.0, np.array([1.0, 1.0]))
+    assert pat2[0, 1]

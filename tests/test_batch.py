@@ -659,3 +659,60 @@ def test_sharded_record_trajectories_events_per_lane_grid():
                                atol=1e-12)
     np.testing.assert_array_equal(np.asarray(res.n_steps_rec),
                                   np.asarray(ref.n_steps_rec))
+
+
+def test_lane_chunk_perlane_tol_chunk_equals_n():
+    # Regression (ADVICE round 3): a genuine per-lane (B,) rtol sliced to
+    # (lane_chunk,) collided with n when lane_chunk == n and was silently
+    # reinterpreted as per-STATE tolerances inside the sub-solve.
+    # Tolerances are now disambiguated to 2-D against the original (B, n)
+    # before chunking.
+    from ivp_tpu.batch import solve_ivp_ensemble
+
+    B, n = 6, 2
+
+    def sho(t, y):
+        return jnp.array([y[1], -y[0]])
+
+    y0 = np.stack([np.linspace(0.5, 1.5, B), np.zeros(B)], axis=1)
+    rt = np.geomspace(1e-9, 1e-4, B)           # per-lane, B != n
+    kw = dict(method="RK45", rtol=rt, atol=1e-12)
+    r0 = solve_ivp_ensemble(sho, (0.0, 10.0), y0, **kw)
+    r1 = solve_ivp_ensemble(sho, (0.0, 10.0), y0, lane_chunk=n, **kw)
+    for f in ("y", "status", "nstep", "nfev"):
+        np.testing.assert_array_equal(np.asarray(getattr(r0, f)),
+                                      np.asarray(getattr(r1, f)), err_msg=f)
+    # sanity: the per-lane tolerances really differ across lanes
+    assert len(set(np.asarray(r0.nstep).tolist())) > 1
+
+
+def test_sharded_recording_solver_cached(monkeypatch):
+    # Regression (ADVICE round 3): the sharded recording tier rebuilt
+    # build_recording_solver and re-jitted the shard_map runner on every
+    # call; it now goes through _SHARDED_CACHE.
+    import ivp_tpu.batch as batch_mod
+    from ivp_tpu import solve_ivp_sharded
+
+    calls = {"n": 0}
+    orig = batch_mod.build_recording_solver
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(batch_mod, "build_recording_solver", counted)
+
+    y0 = np.stack([np.linspace(0.5, 1.5, 8), np.zeros(8)], axis=1)
+    kw = dict(method="RK45", rtol=1e-6, atol=1e-9, dense_output=True)
+    r0 = solve_ivp_sharded(_sho_cached_rhs, (0.0, 5.0), y0, **kw)
+    assert calls["n"] == 1
+    r1 = solve_ivp_sharded(_sho_cached_rhs, (0.0, 5.0), y0, **kw)
+    assert calls["n"] == 1, "second identical call must hit the cache"
+    np.testing.assert_array_equal(np.asarray(r0.y), np.asarray(r1.y))
+    tq = np.linspace(0.0, 5.0, 9)
+    np.testing.assert_array_equal(np.asarray(r0.sol(tq)),
+                                  np.asarray(r1.sol(tq)))
+
+
+def _sho_cached_rhs(t, y):
+    return jnp.array([y[1], -y[0]])
