@@ -24,7 +24,7 @@ if _os.environ.get("IVP_TPU_NO_X64", "0") != "1":
 
     _jax.config.update("jax_enable_x64", True)
 
-from .types import Status, EventConfig                       # noqa: E402
+from .types import Status, EventConfig, strict_methods       # noqa: E402
 from .solve import solve_ivp, OdeResult, OdeSolution         # noqa: E402
 from .batch import solve_ivp_ensemble, EnsembleResult        # noqa: E402
 from .parallel.sharding import solve_ivp_sharded             # noqa: E402
@@ -45,6 +45,7 @@ __all__ = [
     "EnsembleResult",
     "Status",
     "EventConfig",
+    "strict_methods",
     "ddmath",
     "DD",
     "ddify",

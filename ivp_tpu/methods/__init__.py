@@ -13,6 +13,13 @@ def get_engine(method: str, *, need_cont: bool, jac_fn=None, const_jac=False,
     ``jac_fn`` (defaulted by the facade to jax.jacfwd of the RHS).
     """
     method = method.upper()
+    if mass is not None and method != "RADAU":
+        # The reference silently ignores mass for BDF (solve_ivp.rs:256);
+        # a silent wrong answer is worse than a parity break — raise.
+        raise ValueError(
+            f"mass matrices are only supported by method='Radau' "
+            f"(got method={method!r} with mass=).  BDF and the explicit "
+            f"methods integrate y' = f(t, y) only.")
     if method in ("RK4", "RK23", "DOPRI5", "DOP853"):
         return erk.make_engine(method, need_cont, **overrides)
     if method == "RADAU":

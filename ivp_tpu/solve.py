@@ -223,7 +223,18 @@ def solve_ivp(
     buffer (``event_capacity``) dropped occurrences.
     """
     del vectorized  # the RHS is traced; vectorization is inherent
+    y0_host = np.atleast_1d(np.asarray(y0))
+    if y0_host.size and not np.all(np.isfinite(y0_host)):
+        # SciPy parity (the reference carries this test disabled,
+        # tests/test_ivp.py:865-870); a non-finite y0 otherwise poisons
+        # hinit and integrates garbage silently.
+        raise ValueError(
+            "All components of the initial state `y0` must be finite.")
     if isinstance(method, str) and method.lower() == "auto":
+        if mass is not None:
+            raise ValueError(
+                "method='auto' starts with an explicit method and cannot "
+                "honor mass=; use method='Radau' for mass-matrix problems.")
         # LSODA-analog automatic stiffness switching (ivp_tpu/auto.py).
         from .auto import solve_ivp_auto
         return solve_ivp_auto(

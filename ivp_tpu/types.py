@@ -85,15 +85,41 @@ NCOEFF = {
 }
 
 
+# When True, unknown method names raise instead of falling back to DOPRI5.
+# Toggle via ivp_tpu.strict_methods(True).
+_STRICT_METHODS = False
+
+
+def strict_methods(enabled: bool = True) -> None:
+    """Make unknown method names raise a ValueError instead of silently
+    falling back to DOPRI5 (the reference's fallback,
+    src/solve/options.rs:61-73, converts typos into wrong solvers)."""
+    global _STRICT_METHODS
+    _STRICT_METHODS = bool(enabled)
+
+
 def canonical_method(method) -> str:
     """Resolve a method name/alias to its canonical key.
 
     Unknown strings fall back to DOPRI5, matching the reference
-    (src/solve/options.rs:61-73).
+    (src/solve/options.rs:61-73) — but emit a UserWarning, and raise when
+    ``strict_methods(True)`` is set (a typo like "Rdau" otherwise runs a
+    silently-wrong solver).
     """
     if method is None:
         return "DOPRI5"
     key = str(method).upper()
+    if key not in METHOD_ALIASES:
+        known = ", ".join(sorted(METHOD_ALIASES))
+        if _STRICT_METHODS:
+            raise ValueError(
+                f"unknown method {method!r}; known methods: {known}")
+        import warnings
+        warnings.warn(
+            f"unknown method {method!r}: falling back to DOPRI5 "
+            f"(reference options.rs:61-73 semantics); known methods: "
+            f"{known}.  Call ivp_tpu.strict_methods(True) to raise instead.",
+            UserWarning, stacklevel=3)
     return METHOD_ALIASES.get(key, "DOPRI5")
 
 
