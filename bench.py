@@ -5,10 +5,13 @@ Config mirrors the reference harness problem (reference benches/benchmark.py:
 (RK45), rtol=1e-6, atol=1e-8 — integrated as a vmapped ensemble on one chip
 instead of one IVP at a time through a Python-callback boundary.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reported value is float64 (reference-parity precision); the float32
-throughput is included in "extra".  vs_baseline is measured against the
-BASELINE.json north star of 1e5 independent Van der Pol IVPs/sec/chip.
+Prints a detail JSON line first, then the compact headline JSON line LAST
+({"metric", "value", "unit", "vs_baseline", ...} — the driver tail-captures
+stdout, so the headline must be final and short).  The reported value is the
+DEFAULT f64-class path (dtype="auto": the dd double-float tier on TPUs,
+f64-class precision — round-4 VERDICT #1); platform-f64/f32/stiff rows ride
+along.  vs_baseline is measured against the BASELINE.json north star of
+1e5 independent Van der Pol IVPs/sec/chip.
 
 Env knobs: IVP_TPU_BENCH_B (batch size, default 131072).
 """
@@ -72,6 +75,11 @@ def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
         "success_fraction": float(np.mean(np.asarray(res.status) == 0)),
         "mean_nstep": float(np.mean(np.asarray(res.nstep))),
         "max_nstep": int(np.max(np.asarray(res.nstep))),
+        # Repeat/variance metadata (VERDICT r3 weak #6): chip-session drift
+        # is ±10%+, so every row carries its own spread.
+        "repeats": n_runs,
+        "walls_s": [round(t, 4) for t in times],
+        "spread_pct": round(100.0 * (max(times) - min(times)) / dt, 1),
     }
     return stats
 
@@ -312,32 +320,70 @@ def main():
     lorenz = _aux(measure_lorenz)
     lorenz_dd = _aux(measure_lorenz, dtype="dd")
     linear100 = _aux(measure_linear100)
-    value = f64["ivps_per_sec"]
-    out = {
-        "metric": "vdp_ivps_per_sec_per_chip_f64",
+
+    # The DEFAULT f64-class path (round 4): dtype="auto" resolves to the dd
+    # tier on TPUs (methods/ddtier.py) — the primary metric reports what a
+    # user gets by default for an f64-class lean ensemble request, with the
+    # platform-f64 row kept alongside.
+    from ivp_tpu.methods.ddtier import resolve_auto_dtype, is_dd
+    resolved = resolve_auto_dtype("auto", rtol=1e-6, sampled_output=False)
+    dd_ok = isinstance(dd, dict) and "ivps_per_sec" in dd
+    use_dd_primary = is_dd(resolved) and dd_ok
+    primary = dd if use_dd_primary else f64
+    value = primary["ivps_per_sec"]
+
+    # Roofline context (benches/roofline.py, docs/BENCH.md): dd's bandwidth
+    # ceiling is ~half the measured f32 throughput (2x state traffic).
+    f32_ok = isinstance(f32, dict) and "ivps_per_sec" in f32
+    roofline = {
+        "f32_hbm_bound_ivps": f32.get("ivps_per_sec") if f32_ok else None,
+        "dd_bw_ceiling_ivps": (round(f32["ivps_per_sec"] / 2.0, 1)
+                               if f32_ok else None),
+        "dd_fraction_of_ceiling": (round(2.0 * dd["ivps_per_sec"]
+                                         / f32["ivps_per_sec"], 3)
+                                   if (dd_ok and f32_ok) else None),
+        "f64_emulation_note": "platform f64 is emulation-op-bound at ~1/3 "
+                              "VPU peak (benches/roofline.py)",
+    }
+
+    detail = {
+        "batch": B,
+        "batch_dd": B_dd,
+        "f64": f64,
+        "f32": f32,
+        "dd": dd,
+        "stiff_radau_f64": stiff,
+        "stiff_bdf_f64": stiff_bdf,
+        "stiff_radau_f32": stiff_f32,
+        "stiff_radau_f64_mixed_newton": stiff_mixed,
+        "stiff_radau_dd": stiff_dd,
+        "stiff_bdf_dd": stiff_bdf_dd,
+        "lorenz_dop853_f64": lorenz,
+        "lorenz_dop853_dd": lorenz_dd,
+        "linear_decay_n100_f64": linear100,
+        "roofline": roofline,
+        "device": str(jax.devices()[0]),
+        "config": "VdP mu=1, t=[0,100], DOPRI5, rtol=1e-6, atol=1e-8",
+    }
+    print(json.dumps({"detail": detail}))
+
+    # Compact headline LAST (the driver tail-captures stdout; r3's artifact
+    # lost the primary value because it led a >2000-char line).
+    print(json.dumps({
+        "metric": "vdp_ivps_per_sec_per_chip_default_f64class",
         "value": value,
         "unit": "IVPs/s",
         "vs_baseline": round(value / NORTH_STAR, 4),
-        "extra": {
-            "batch": B,
-            "batch_dd": B_dd,
-            "f64": f64,
-            "f32": f32,
-            "dd": dd,
-            "stiff_radau_f64": stiff,
-            "stiff_bdf_f64": stiff_bdf,
-            "stiff_radau_f32": stiff_f32,
-            "stiff_radau_f64_mixed_newton": stiff_mixed,
-            "stiff_radau_dd": stiff_dd,
-            "stiff_bdf_dd": stiff_bdf_dd,
-            "lorenz_dop853_f64": lorenz,
-            "lorenz_dop853_dd": lorenz_dd,
-            "linear_decay_n100_f64": linear100,
-            "device": str(jax.devices()[0]),
-            "config": "VdP mu=1, t=[0,100], DOPRI5, rtol=1e-6, atol=1e-8",
-        },
-    }
-    print(json.dumps(out))
+        "dtype_resolved": "dd" if use_dd_primary else "float64",
+        "platform_f64_ivps": f64.get("ivps_per_sec"),
+        "dd_ivps": dd.get("ivps_per_sec") if dd_ok else None,
+        "f32_ivps": f32.get("ivps_per_sec") if f32_ok else None,
+        "stiff_radau_dd_ivps": stiff_dd.get("ivps_per_sec"),
+        "stiff_bdf_dd_ivps": stiff_bdf_dd.get("ivps_per_sec"),
+        "repeats": primary.get("repeats"),
+        "spread_pct": primary.get("spread_pct"),
+        "success_fraction": primary.get("success_fraction"),
+    }))
 
 
 if __name__ == "__main__":

@@ -27,12 +27,11 @@ from .methods import get_engine
 from .methods.base import RunArgs
 
 
-def _is_dd(dtype) -> bool:
-    """True for the double-float precision tier (``dtype="dd"``): f64-class
-    state precision from hand-rolled f32-pair arithmetic (core/ddmath.py) —
-    2-3x faster than the platform's f64 emulation on this TPU."""
-    return isinstance(dtype, str) and dtype.lower() in ("dd", "ddf32",
-                                                        "double-float")
+# dd-tier detection/plumbing shared with the single-IVP facade
+# (methods/ddtier.py); _is_dd kept as the module-local name.
+from .methods.ddtier import is_dd as _is_dd  # noqa: E402
+from .methods.ddtier import dd_jac_fn as _dd_jac_fn_impl  # noqa: E402
+from .methods.ddtier import make_dd_engine as _make_dd_engine_impl  # noqa: E402
 
 
 def _norm_tol(v, B, n, dtype, name):
@@ -72,6 +71,41 @@ def _norm_sample_grid(t_eval):
                 "t_eval must be sorted (monotone in the integration "
                 "direction) for ensemble solvers")
     return grid
+
+
+def _auto_lane_chunk(method, n, B, dtype, solver_options) -> Optional[int]:
+    """Default lane-chunk size for stiff mid-size ensembles.
+
+    Mid-size stiff ensembles saturate the chip by B=4096-8192 and then fall
+    off a VMEM-tiling cliff (Radau n=32 mixed: 3081 IVPs/s at B=8192 ->
+    1501 at B=16384, OOM at 65k — docs/TPU_NOTES.md #31); large per-lane
+    dense f64 factorizations additionally risk crashing the TPU worker at
+    big B (TPU_NOTES #2/#5).  This table encodes the measured saturation
+    points (docs/BENCH.md mid-size table) so the default configuration
+    host-loops equal sub-batches instead of walking off the cliff.
+
+    Returns None (no chunking) for explicit methods and small systems.
+    """
+    m = str(method).upper() if isinstance(method, str) else ""
+    if m == "AUTO":
+        m = "RADAU"  # the stiff resume leg is the regime that needs it
+    else:
+        m = canonical_method(method) if isinstance(method, str) else ""
+    if m not in ("RADAU", "BDF") or n < 16:
+        return None
+    so = solver_options or {}
+    f32_factor = (_is_dd(dtype)
+                  or (dtype is not None and not isinstance(dtype, str)
+                      and jnp.dtype(dtype) == jnp.float32)
+                  or so.get("newton_precision") == "mixed"
+                  or so.get("factor_f32"))
+    if n < 48:
+        chunk = 8192
+    elif n < 96:
+        chunk = 2048 if f32_factor else 1024
+    else:
+        chunk = 256
+    return chunk if B > chunk else None
 
 
 def _auto_event_capacity(y0_shape, events, dtype, lane_chunk=None) -> int:
@@ -139,34 +173,8 @@ _hashable = cache_token  # GC-safe key component (core/cache.py)
 
 
 def _dd_jac_fn(fun, args_, jac, n, jac_sparsity=None):
-    """f32 Jacobian for the dd stiff tier: the factored Newton matrices are
-    f32 by construction (methods/dd_radau.py), so the Jacobian never needs
-    more than f32 — from the user's jac callable (evaluated at the state's
-    hi words), grouped FD under a sparsity pattern, or jacfwd of the plain
-    RHS."""
-    if jac is not None and callable(jac):
-        def jac_fn(t, y):
-            return jnp.asarray(jac(t, y.hi, *args_),
-                               jnp.float32).reshape(n, n)
-        return jac_fn
-
-    def f32_rhs2(t, yy):
-        out = fun(t, yy, *args_)
-        if isinstance(out, ddm.DD):
-            out = out.hi
-        return jnp.asarray(out, jnp.float32).reshape(n)
-
-    if jac_sparsity is not None:
-        from .core.sparsity import make_grouped_fd_jac
-        fd_jac, _ = make_grouped_fd_jac(f32_rhs2, jac_sparsity, n,
-                                        jnp.float32)
-
-        def jac_fn(t, y):
-            return fd_jac(t, y.hi)
-    else:
-        def jac_fn(t, y):
-            return jax.jacfwd(lambda yy: f32_rhs2(t, yy))(y.hi)
-    return jac_fn
+    """f32 Jacobian for the dd stiff tier (methods/ddtier.py)."""
+    return _dd_jac_fn_impl(fun, args_, jac, n, jac_sparsity)
 
 
 def _no_auto_sparsity(jac_sparsity, builder: str):
@@ -206,20 +214,13 @@ def _auto_band_opts(method_c, solver_options, jac_sparsity, dtype=None):
 
 def _make_dd_engine(method_c, need_cont, fun, args_, jac, n, solver_options,
                     jac_sparsity=None):
-    """Engine factory for the dd tier: explicit methods via methods/dd_erk,
-    the stiff methods via methods/dd_radau / dd_bdf (dd state + f32 Newton
-    solves)."""
-    from .methods import dd_erk
-    if method_c in ("RADAU", "BDF"):
-        opts = _auto_band_opts(method_c, solver_options, jac_sparsity)
-        jf = _dd_jac_fn(fun, args_, jac, n, jac_sparsity)
-        if method_c == "RADAU":
-            from .methods import dd_radau
-            return dd_radau.make_engine(need_cont, jac_fn=jf, n=n, **opts)
-        from .methods import dd_bdf
-        return dd_bdf.make_engine(need_cont, jac_fn=jf, n=n, **opts)
-    return dd_erk.make_engine(method_c, need_cont=need_cont,
-                              **(solver_options or {}))
+    """Engine factory for the dd tier (methods/ddtier.py): explicit methods
+    via methods/dd_erk, the stiff methods via methods/dd_radau / dd_bdf
+    (dd state + f32 Newton solves)."""
+    opts = (_auto_band_opts(method_c, solver_options, jac_sparsity)
+            if method_c in ("RADAU", "BDF") else dict(solver_options or {}))
+    return _make_dd_engine_impl(method_c, need_cont, fun, args_, jac, n,
+                                opts, jac_sparsity)
 
 
 def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
@@ -616,7 +617,7 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                        dense_output: bool = False,
                        record_trajectories: bool = False,
                        rec_chunk: int = 1024,
-                       lane_chunk: Optional[int] = None,
+                       lane_chunk="auto",
                        time_dtype=None) -> EnsembleResult:
     """Batched solve to final state, executed as a host loop of bounded device
     chunks (no single device call runs unboundedly — robust against runtime
@@ -654,13 +655,38 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     VMEM-tiling cliff (docs/TPU_NOTES.md #31) — chunking keeps every
     device call at the saturating batch size regardless of total B.
     Composes with every option here, including dense_output and
-    method="auto".
+    method="auto".  The default ``"auto"`` picks the saturating sub-batch
+    from the measured (n, method, factor-precision) table
+    (:func:`_auto_lane_chunk`) — pass ``None`` to disable chunking or an
+    int to force a size.
+
+    ``dtype="auto"``: routes f64-class requests to the dd tier on TPUs
+    (precision-aware — methods/ddtier.py::resolve_auto_dtype).
     """
     _y0_host = np.atleast_2d(np.asarray(y0_batch))
     if _y0_host.size and not np.all(np.isfinite(_y0_host)):
         raise ValueError(
             "All components of the initial states `y0_batch` must be "
             "finite.")
+    # dtype="auto": route f64-class requests to the dd tier on TPUs
+    # (precision-aware; methods/ddtier.py::resolve_auto_dtype).
+    from .methods.ddtier import resolve_auto_dtype
+    _so = solver_options or {}
+    dtype = resolve_auto_dtype(
+        dtype, rtol=rtol,
+        sampled_output=bool(t_eval is not None or dense_output
+                            or record_trajectories or events is not None),
+        has_mass="mass" in _so, has_dae="nind" in _so,
+        method=str(method))
+    if isinstance(lane_chunk, str):
+        if lane_chunk != "auto":
+            raise ValueError(f"lane_chunk must be an int, None or 'auto', "
+                             f"got {lane_chunk!r}")
+        # Default: table-driven sub-batching for stiff mid-size ensembles
+        # (saturation/cliff data in docs/TPU_NOTES.md #31, docs/BENCH.md).
+        lane_chunk = _auto_lane_chunk(
+            method, _y0_host.shape[1] if _y0_host.ndim == 2 else 1,
+            _y0_host.shape[0], dtype, solver_options)
     if event_capacity is None:
         event_capacity = _auto_event_capacity(
             _y0_host.shape if _y0_host.ndim == 2 else (1, _y0_host.size),
@@ -1012,8 +1038,12 @@ def _drain_recording(entry, y0_batch, t0, tf, rtol, atol, preload=None):
         carry = run_vchunk(carry, ra)
         k = np.asarray(carry.n_rec)
         if k.any():
+            # dd tier: recorded endpoints carry the full DD pair (driver
+            # records the state representation) — lift to f64 on drain.
+            rec_y = (ddm.to_f64(carry.rec_y)
+                     if isinstance(carry.rec_y, ddm.DD) else carry.rec_y)
             chunks.append((k, np.asarray(carry.rec_t),
-                           np.asarray(carry.rec_y),
+                           np.asarray(rec_y),
                            np.asarray(carry.rec_xold),
                            np.asarray(carry.rec_h),
                            np.asarray(carry.rec_cont) if dense_output

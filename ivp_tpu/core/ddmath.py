@@ -339,6 +339,61 @@ def mul_const(x: DD, c: float) -> DD:
     return DD(*_quick_two_sum(p, e))
 
 
+def _const_parts_arr(c):
+    """Vectorized :func:`_const_parts`: trace-time Dekker decomposition of a
+    numpy coefficient ARRAY (numpy's round-to-nearest f32 matches the
+    device's, so hi/lo/ch/cl are exact f32 constants)."""
+    c = np.asarray(c, np.float64)
+    hi = c.astype(np.float32)
+    lo = (c - hi.astype(np.float64)).astype(np.float32)
+    t = (_SPLIT * hi).astype(np.float32)
+    ch = (t - (t - hi).astype(np.float32)).astype(np.float32)
+    cl = (hi - ch).astype(np.float32)
+    return hi, lo, ch, cl
+
+
+def mul_const_arr(x: DD, c, renorm: bool = True) -> DD:
+    """Elementwise/broadcast x * c for a trace-time numpy array ``c`` — the
+    vectorized :func:`mul_const` (one runtime split, of ``x.hi``; the
+    constant side splits at trace time).  One call replaces a Python loop
+    of per-row ``mul_const``s: same flops, but a constant number of HLO ops
+    (and barriers) regardless of the row count — the dd op-count lever the
+    roofline prescribes (docs/BENCH.md)."""
+    hi, lo, ch, cl = _const_parts_arr(c)
+    hi_c, lo_c = jnp.asarray(hi), jnp.asarray(lo)
+    ch_c, cl_c = jnp.asarray(ch), jnp.asarray(cl)
+    p = x.hi * hi_c
+    xh, xl = _split(x.hi)
+    e = ((xh * ch_c - p) + xh * cl_c + xl * ch_c) + xl * cl_c
+    if np.any(lo != 0.0):
+        e = e + (x.hi * lo_c + x.lo * hi_c)
+    else:
+        e = e + x.lo * hi_c
+    if not renorm:
+        return DD(p, e)
+    return DD(*_quick_two_sum(p, e))
+
+
+def sum0(x: DD) -> DD:
+    """dd sum over the leading axis by pairwise (log-depth) reduction:
+    3 dd adds collapse 8 rows (vs 7 chained), and every add is one
+    vectorized HLO group instead of a Python-unrolled per-row chain.
+    Pairwise dd summation is also at least as accurate as sequential
+    chaining (error grows O(log m) vs O(m))."""
+    m = x.shape[0]
+    while m > 1:
+        half = m // 2
+        even = DD(x.hi[0:2 * half:2], x.lo[0:2 * half:2])
+        odd = DD(x.hi[1:2 * half:2], x.lo[1:2 * half:2])
+        s = add(even, odd)
+        if m % 2:
+            s = DD(jnp.concatenate([s.hi, x.hi[m - 1:m]], axis=0),
+                   jnp.concatenate([s.lo, x.lo[m - 1:m]], axis=0))
+        x = s
+        m = x.shape[0]
+    return DD(x.hi[0], x.lo[0])
+
+
 def dot_const(coeffs, ks, exact: bool = False, renorm: bool = True) -> DD:
     """Sum_i c_i * k_i with dd accuracy: Python-float coefficients are split
     to dd constants at trace time; exact zeros are skipped (Butcher tableaus

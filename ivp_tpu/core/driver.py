@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -61,7 +62,9 @@ class Carry(NamedTuple):
     nrejct: Any
     n_rec: Any
     rec_t: Any     # (cap,)
-    rec_y: Any     # (cap, n)
+    rec_y: Any     # (cap, n) in the state representation (a DD pytree of two
+    #                (cap, n) words for the dd tier — recorded step endpoints
+    #                keep full f64-class precision; the facades lift on drain)
     rec_xold: Any  # (cap,)
     rec_h: Any     # (cap,)
     rec_cont: Any  # (cap, C, n) or (cap, 0, n)
@@ -125,7 +128,12 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             nstep=_i32(0), naccpt=_i32(0), nrejct=_i32(0),
             n_rec=_i32(0),
             rec_t=jnp.zeros((cap,), tdt),
-            rec_y=jnp.zeros((cap, n), dtype),
+            # Full state-representation record buffers: for plain engines a
+            # (cap, n) array as before; for rich states (the dd tier's DD
+            # pair) one (cap, n) buffer per leaf, so recorded step endpoints
+            # lose no precision (events/interp still see lowered f32 views).
+            rec_y=jax.tree.map(
+                lambda a: jnp.zeros((cap,) + a.shape, a.dtype), y0),
             rec_xold=jnp.zeros((cap,), tdt),
             rec_h=jnp.zeros((cap,), tdt),
             rec_cont=jnp.zeros((cap, C, n), dtype),
@@ -215,7 +223,8 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
         if cap:
             idx = jnp.where(adv, c.n_rec, cap)  # out-of-bounds => dropped
             rec_t = c.rec_t.at[idx].set(t_rec, mode="drop")
-            rec_y = c.rec_y.at[idx].set(lower(y_rec), mode="drop")
+            rec_y = jax.tree.map(
+                lambda b, v: b.at[idx].set(v, mode="drop"), c.rec_y, y_rec)
             rec_xold = c.rec_xold.at[idx].set(res.xold, mode="drop")
             rec_h = c.rec_h.at[idx].set(res.h_used, mode="drop")
             rec_cont = (c.rec_cont.at[idx].set(res.cont, mode="drop")

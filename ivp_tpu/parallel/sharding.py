@@ -67,7 +67,8 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
                       max_steps: int = 100_000,
                       max_step=None, min_step: float = 0.0,
                       mesh: Optional[Mesh] = None, axis: str = "data",
-                      dtype=None, events=None, event_capacity: int = 16,
+                      dtype=None, events=None,
+                      event_capacity: Optional[int] = None,
                       t_eval=None, solver_options: Optional[dict] = None,
                       max_restarts: int = 0, args_batched: bool = False,
                       dense_output: bool = False,
@@ -97,6 +98,20 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     """
     y0_batch = jnp.atleast_2d(jnp.asarray(y0_batch))
     B, n = y0_batch.shape
+    # Adaptive event-record capacity, consistent with solve_ivp_ensemble
+    # (memory-budgeted; single-IVP-like 512 at small B).
+    if event_capacity is None:
+        from ..batch import _auto_event_capacity
+        event_capacity = _auto_event_capacity((B, n), events, dtype)
+    # dtype="auto": same precision-aware dd routing as the one-chip facades
+    # (methods/ddtier.py).
+    from ..methods.ddtier import resolve_auto_dtype
+    _so = solver_options or {}
+    dtype = resolve_auto_dtype(
+        dtype, rtol=rtol,
+        sampled_output=bool(t_eval is not None or dense_output
+                            or record_trajectories or events is not None),
+        has_mass="mass" in _so, has_dae="nind" in _so, method=str(method))
     if isinstance(jac_sparsity, str):
         # jac_sparsity="auto": detect on the host around lane 0 before the
         # sharded solver is built (core/sparsity.py; with per-lane args the

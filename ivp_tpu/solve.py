@@ -25,6 +25,7 @@ from .types import Status, canonical_method, scipy_message
 from .core.cache import LRUCache, cache_token
 from .core.driver import DriverConfig, make_driver, run_args
 from .core.events import EventSpec
+from .core import ddmath as ddm
 from .methods import get_engine
 
 _TOL = 1e-12  # endpoint matching tolerance (reference solout.rs:33)
@@ -219,6 +220,19 @@ def solve_ivp(
     while state arithmetic runs at f32 speed (fixes long-horizon f32 runs
     stalling once steps fall below the f32 ulp of t).
 
+    ``dtype="dd"``: the double-float precision tier — f64-class state
+    precision from the framework's own double-f32 arithmetic
+    (core/ddmath.py) at 1.7-2x the platform's emulated-f64 throughput on
+    TPU.  Step sequences match the platform-f64 engines through rtol 1e-13;
+    recorded step endpoints (``result.t/y`` rows, final state) keep full
+    f64-class precision; dense output / ``t_eval`` samples / event *states*
+    are interp-grade (f32 views), while event/step *times* stay f64.
+
+    ``dtype="auto"``: precision-aware routing — the dd tier on TPUs (where
+    platform f64 is software emulation), platform f64 on CPU/GPU, for
+    mass/DAE problems, and when tight-tolerance (rtol < 1e-6) sampled
+    output is requested (methods/ddtier.py::resolve_auto_dtype).
+
     ``result.event_overflow`` flags events whose fixed-capacity record
     buffer (``event_capacity``) dropped occurrences.
     """
@@ -246,21 +260,38 @@ def solve_ivp(
             time_dtype=time_dtype, chunk_steps=chunk_steps,
             event_capacity=event_capacity, solver_options=solver_options,
             max_restarts=max_restarts)
-    if isinstance(dtype, str) and dtype.lower() in ("dd", "ddf32",
-                                                    "doublefloat"):
-        raise ValueError(
-            "dtype='dd' (the double-float precision tier) is an ensemble "
-            "feature — use solve_ivp_ensemble / build_ensemble_solver / "
-            "solve_ivp_sharded.  A single IVP is compile-bound, so the dd "
-            "tier's arithmetic savings only pay off batched.")
-    dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
-    # f64-time/f32-state hybrid: time_dtype=jnp.float64 with dtype=float32
-    # keeps t/h/event-times at f64 resolution while state math stays f32
-    # (fixes the f32 long-horizon limit where t + h == t for small steps).
-    tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
+    # dtype="auto": precision-aware routing to the dd tier on TPUs (the
+    # framework's fastest f64-class execution path, methods/ddtier.py);
+    # dtype="dd" requests it explicitly.
+    from .methods.ddtier import is_dd, resolve_auto_dtype
+    has_dae = any(v is not None for v in (nind1, nind2, nind3))
+    dtype = resolve_auto_dtype(
+        dtype, rtol=rtol,
+        sampled_output=bool(t_eval is not None or dense_output
+                            or events is not None),
+        has_mass=mass is not None, has_dae=has_dae, method=str(method))
+    use_dd = is_dd(dtype)
+    if use_dd:
+        if mass is not None or has_dae:
+            raise ValueError(
+                "dtype='dd' integrates identity-mass ODEs only (the dd "
+                "stiff engines have no mass/DAE support); use the platform "
+                "f64 tier for mass-matrix / DAE problems.")
+        # Carrier dtype of the dd words is f32; the time axis defaults to
+        # platform f64 (exact t accumulation — same contract as the dd
+        # ensemble tier, docs/BENCH.md).
+        dtype = jnp.dtype(jnp.float32)
+        tdt = (jnp.dtype(time_dtype) if time_dtype is not None
+               else jnp.dtype(jnp.float64))
+    else:
+        dtype = jnp.dtype(dtype) if dtype is not None else jnp.result_type(1.0)
+        # f64-time/f32-state hybrid: time_dtype=jnp.float64 with dtype=float32
+        # keeps t/h/event-times at f64 resolution while state math stays f32
+        # (fixes the f32 long-horizon limit where t + h == t for small steps).
+        tdt = jnp.dtype(time_dtype) if time_dtype is not None else dtype
 
     t0, tf = (float(t_span[0]), float(t_span[1]))
-    y0_arr = jnp.atleast_1d(jnp.asarray(y0, dtype))
+    y0_arr = jnp.atleast_1d(jnp.asarray(y0, jnp.float64 if use_dd else dtype))
     n = int(y0_arr.shape[0])
     method = canonical_method(method)
 
@@ -307,10 +338,21 @@ def solve_ivp(
                                     n_events, events is not None)
 
     # -- wrap user callables into traced closures --
-    def rhs(t, y):
-        return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
+    if use_dd:
+        # A plain-jnp RHS auto-lifts to dd arithmetic by jaxpr
+        # reinterpretation (core/ddify.py) — same callable as every dtype.
+        from .core.ddify import auto_dd_rhs
+        dd_fun = auto_dd_rhs(fun)
+
+        def rhs(t, y):
+            return dd_fun(t, y, *args).reshape(n)
+    else:
+        def rhs(t, y):
+            return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
 
     if n_events:
+        # Event functions see plain-array state views (Engine.lower: the dd
+        # tier's f32 hi words; event *times* keep time-dtype resolution).
         def events_fn(t, y):
             return jnp.stack(
                 [jnp.asarray(e(t, y, *args), dtype).reshape(()) for e in ev_list]
@@ -324,12 +366,18 @@ def solve_ivp(
     # requires an explicit scipy pattern, src/python/sparsity.rs:30-92).
     if isinstance(jac_sparsity, str):
         from .core.sparsity import resolve_jac_sparsity
-        jac_sparsity = resolve_jac_sparsity(jac_sparsity, rhs, t0, y0_arr,
-                                            t1=tf)
+        probe_rhs = ((lambda t, y: jnp.asarray(fun(t, y, *args)).reshape(n))
+                     if use_dd else rhs)
+        jac_sparsity = resolve_jac_sparsity(jac_sparsity, probe_rhs, t0,
+                                            y0_arr, t1=tf)
 
-    jac_fn, const_jac = _normalize_jac(
-        jac, rhs, n, dtype, args, jac_sparsity=jac_sparsity,
-        jac_dtype=_facade_jac_dtype(method, solver_options))
+    if use_dd:
+        jac_fn, const_jac = None, False  # the dd stiff engines build their
+        #                                  own f32 Jacobian (ddtier.dd_jac_fn)
+    else:
+        jac_fn, const_jac = _normalize_jac(
+            jac, rhs, n, dtype, args, jac_sparsity=jac_sparsity,
+            jac_dtype=_facade_jac_dtype(method, solver_options))
 
     need_cont = bool(dense_output or t_eval_arr is not None or n_events
                      or first_step is not None)
@@ -344,6 +392,7 @@ def solve_ivp(
         first_step is not None, bool(mass is not None),
         nind1, nind2, nind3, _hashable(jac_sparsity),
         tuple(sorted((solver_options or {}).items())), max_restarts,
+        use_dd,
     )
 
     # Narrow-band Jacobian sparsity enables the block-tridiagonal cyclic
@@ -360,11 +409,18 @@ def solve_ivp(
     # an ensemble/vmap phenomenon, hinted by the batch builders only.)
 
     def builder():
-        engine, p = get_engine(
-            method, need_cont=need_cont, jac_fn=jac_fn, const_jac=const_jac,
-            mass=mass, nind=(nind1, nind2, nind3), n=n,
-            **extra_opts, **(solver_options or {}),
-        )
+        if use_dd:
+            from .methods.ddtier import make_dd_engine
+            engine, p = make_dd_engine(
+                method, need_cont, fun, args, jac, n,
+                {**extra_opts, **(solver_options or {})}, jac_sparsity)
+        else:
+            engine, p = get_engine(
+                method, need_cont=need_cont, jac_fn=jac_fn,
+                const_jac=const_jac,
+                mass=mass, nind=(nind1, nind2, nind3), n=n,
+                **extra_opts, **(solver_options or {}),
+            )
         cfg = DriverConfig(rec_cap=chunk_steps, record_cont=need_cont,
                            ncoeff=engine.ncoeff, event_spec=ev_spec,
                            max_restarts=max_restarts)
@@ -389,17 +445,23 @@ def solve_ivp(
     fs = first_step
     if method == "RK4" and fs is None:
         fs = abs(tf - t0) / 100.0  # reference solve_ivp.rs:185
-    fs_tr = jnp.asarray(abs(fs), dtype) if fs is not None else None
+    # dd: first_step stays at time-dtype resolution (RK4's fixed h must not
+    # be f32-rounded; the adaptive engines' init casts to f32 themselves).
+    fs_tr = (jnp.asarray(abs(fs), tdt if use_dd else dtype)
+             if fs is not None else None)
 
-    carry = init_carry(jnp.asarray(t0, tdt), y0_arr, fs_tr, ra)
+    y0_dev = ddm.from_f64(y0_arr) if use_dd else y0_arr
+    carry = init_carry(jnp.asarray(t0, tdt), y0_dev, fs_tr, ra)
 
     seg_t, seg_y, seg_xold, seg_h, seg_cont = [], [], [], [], []
     while True:
         carry = run_chunk(carry, ra)
         k = int(carry.n_rec)
         if k:
+            # dd: recorded endpoints carry the full DD pair — lift to f64.
+            ry = ddm.to_f64(carry.rec_y) if use_dd else carry.rec_y
             seg_t.append(np.asarray(carry.rec_t)[:k])
-            seg_y.append(np.asarray(carry.rec_y)[:k])
+            seg_y.append(np.asarray(ry)[:k])
             seg_xold.append(np.asarray(carry.rec_xold)[:k])
             seg_h.append(np.asarray(carry.rec_h)[:k])
             if need_cont:
@@ -514,8 +576,7 @@ def solve_ivp(
         # the method="auto" switcher (ivp_tpu/auto.py).
         raw_status=status,
         t_reached=float(carry.t),
-        y_reached=np.asarray(engine.lift(carry.y) if engine.lift
-                             else carry.y),
+        y_reached=np.asarray(ddm.to_f64(carry.y) if use_dd else carry.y),
     )
 
 
