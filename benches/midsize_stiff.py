@@ -150,6 +150,14 @@ def main():
         label="/bandedCR")
     add(method="Radau", N=64, B=Bb, label="/denseLU")
 
+    # Round-4 crash-region probe (VERDICT r4 #2): the n>=64 dense f64 LU at
+    # B=4096 used to hard-crash the TPU worker (TPU_NOTES #2/#5, pre
+    # scan-LU).  Gated behind IVP_TPU_MID_CRASHPROBE=1 — the n=128 row
+    # alone runs several minutes.
+    if os.environ.get("IVP_TPU_MID_CRASHPROBE") == "1":
+        add(method="Radau", N=32, B=4096, label="/denseLU-crashprobe")
+        add(method="Radau", N=64, B=4096, label="/denseLU-crashprobe")
+
 
 if __name__ == "__main__":
     main()

@@ -247,6 +247,28 @@ def mul(x: DD, y: DD, renorm: bool = True) -> DD:
     return DD(*_quick_two_sum(p, e))
 
 
+def presplit(y: DD):
+    """Precompute the Dekker split of ``y.hi`` for reuse across several
+    multiplies — e.g. the per-attempt step size that feeds every stage
+    chain (6 multiplies share one barrier-pinned split instead of paying
+    one each)."""
+    yh, yl = _split(y.hi)
+    return (y, yh, yl)
+
+
+def mul_presplit(x: DD, ys, renorm: bool = True) -> DD:
+    """dd multiply where the right operand comes pre-split
+    (:func:`presplit`); semantics identical to :func:`mul`."""
+    y, yh, yl = ys
+    p = x.hi * y.hi
+    xh, xl = _split(x.hi)
+    e = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    if not renorm:
+        return DD(p, e)
+    return DD(*_quick_two_sum(p, e))
+
+
 def mul_pot(x: DD, s) -> DD:
     """Multiply by an exact power of two (error-free: both words scale)."""
     return DD(x.hi * s, x.lo * s)

@@ -131,12 +131,65 @@ def dd_change_d(D: DD, order, factor_dd: DD) -> DD:
 _CHANGE_D_IMPL = os.environ.get("IVP_TPU_DD_CHANGE_D", "dd")
 
 
-def _rescale_d(D_in: DD, ord_in, f_total):
-    if _CHANGE_D_IMPL == "dd":
-        return dd_change_d(D_in, ord_in, ddm.from_f64(f_total))
-    from .bdf import change_d as change_d64
-    D64 = ddm.to_f64(D_in)
-    return ddm.from_f64(change_d64(D64, ord_in, f_total))
+def dd_change_d_v3(D: DD, order, factor_dd: DD) -> DD:
+    """change_d with two dd op-count cuts over :func:`dd_change_d` (same
+    math, same summation order):
+
+    * each difference row D[m].hi is Dekker-split ONCE and reused by all 6
+      output rows (ddmath.presplit — was 36 row splits, now 6);
+    * the 6-term accumulation per output row runs as a fused two_sum chain
+      with an f32 residue stream and ONE closing renormalization (the
+      dot_const pattern with runtime coefficients — was 5 renormalized dd
+      adds per row).
+
+    The residue-stream rounding (~2^-45|D|) matches the proven stage-sum
+    budget; the transform's inputs/outputs stay renormalized dd rows."""
+    size = MAX_ORDER + 1  # 6
+    C = _CHANGE_D_C  # (6, 6, 6) numpy float64
+
+    pw = [None, factor_dd]
+    for d in range(2, size):
+        pw.append(ddm.mul(pw[-1], factor_dd))
+    P_rows = []
+    for i in range(size):
+        acc = ddm.from_f64(jnp.asarray(C[0, i], jnp.float64))
+        for d in range(1, i + 1):
+            cd = ddm.from_f64(jnp.asarray(C[d, i], jnp.float64))
+            acc = ddm.add(acc, ddm.mul(pw[d], cd))
+        P_rows.append(acc)  # DD (6,)
+
+    eye = jnp.eye(size, dtype=jnp.float32)
+    D_splits = [ddm.presplit(D[m]) for m in range(size)]
+    new_rows = []
+    for j in range(size):  # output row j of D6 = sum_m T[m, j] * D[m]
+        s = None
+        err = None
+        for m in range(size):
+            in_blk = (m <= order) & (j <= order)
+            tm = ddm.where(in_blk, P_rows[m][j],
+                           DD(eye[m, j], jnp.zeros((), jnp.float32)))
+            # term = tm * D[m], unrenormalized (p, e), D[m].hi pre-split
+            p_t, e_t = ddm.mul_presplit(tm, D_splits[m], renorm=False)
+            if s is None:
+                s, err = p_t, e_t
+            else:
+                s, e2 = ddm._two_sum(s, p_t)
+                err = err + (e2 + e_t)
+        new_rows.append(DD(*ddm._quick_two_sum(s, err)))
+    for j in range(size, MAX_ORDER + 3):
+        new_rows.append(D[j])
+    D_new = ddm.stack(new_rows)
+    one = (factor_dd.hi == 1.0) & (factor_dd.lo == 0.0)
+    return ddm.where(one, D, D_new)
+
+
+def _rescale_d(D_in: DD, ord_in, f_total, impl: str = "v1"):
+    if _CHANGE_D_IMPL != "dd":
+        from .bdf import change_d as change_d64
+        D64 = ddm.to_f64(D_in)
+        return ddm.from_f64(change_d64(D64, ord_in, f_total))
+    fn = dd_change_d_v3 if impl == "v3" else dd_change_d
+    return fn(D_in, ord_in, ddm.from_f64(f_total))
 
 
 def make_dd_bdf_init(jac_fn, p: BDFParams):
@@ -172,7 +225,7 @@ def make_dd_bdf_init(jac_fn, p: BDFParams):
     return init
 
 
-def make_dd_bdf_attempt(jac_fn, p: BDFParams):
+def make_dd_bdf_attempt(jac_fn, p: BDFParams, impl: str = "v1"):
     n = p.n
     factor, solve, _ = make_linear_backend(p)
     gamma = np.asarray(tab.BDF_GAMMA, float)        # (MAX_ORDER+1,)
@@ -422,7 +475,7 @@ def make_dd_bdf_attempt(jac_fn, p: BDFParams):
         D_in = ddm.where(accepted, D_acc, D)
         ord_in = jnp.where(adapt, new_order, order)
         f_total = h1 / jnp.maximum(h_abs, 1e-300)
-        D_next = _rescale_d(D_in, ord_in, f_total)
+        D_next = _rescale_d(D_in, ord_in, f_total, impl)
         h_next = h1
         n_equal_next = jnp.where(accepted & ~adapt & ~clamp_changed,
                                  n_equal_acc, 0)
@@ -461,11 +514,16 @@ def make_engine(need_cont: bool, *, jac_fn, const_jac=False, n=0, **overrides):
     overrides.pop("newton_precision", None)      # f32 by construction
     overrides.pop("controller_precision", None)  # f32 by construction
     overrides.pop("factor_f32", None)
+    # change_d variant: "v1" (per-row renormalized chains) or "v3"
+    # (presplit rows + fused accumulation) — A/B-able via
+    # solver_options={"dd_impl": ...}.
+    impl = overrides.pop("dd_impl", os.environ.get("IVP_TPU_DD_BDF_IMPL",
+                                                   "v1"))
     p = BDFParams(need_cont=need_cont, n=n, const_jac=const_jac,
                   newton_precision="full", controller_precision="float32",
                   factor_f32=True, **overrides)
     init = make_dd_bdf_init(jac_fn, p)
-    attempt = make_dd_bdf_attempt(jac_fn, p)
+    attempt = make_dd_bdf_attempt(jac_fn, p, impl)
     eng = Engine(name="BDF", ncoeff=MAX_ORDER + 2 if need_cont else 0,
                  init=init, attempt=attempt, interp=bdf_interp,
                  init_njev=0 if const_jac else 1,

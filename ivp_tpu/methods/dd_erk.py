@@ -146,10 +146,11 @@ def dd_dopri5_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     k1 = ms.k1
     xs = _exact_state()  # solution-path accumulation mode (see _exact_state)
     rn = _stage_renorm()  # intermediate renorm policy (see _stage_renorm)
+    hsp = ddm.presplit(hdd)  # one barrier-pinned split shared by all stages
 
     def stage(row, kl):
         s = ddm.dot_const(row, kl, exact=xs, renorm=rn)
-        return y + ddm.mul(s, hdd, renorm=rn)
+        return y + ddm.mul_presplit(s, hsp, renorm=rn)
 
     k2 = rhs(t + C[1] * h64, stage(A[0], [k1]))
     k3 = rhs(t + C[2] * h64, stage(A[1], [k1, k2]))
@@ -268,10 +269,11 @@ def dd_dop853_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     ks = [ms.k1]
     xs = _exact_state()  # solution-path accumulation mode (see _exact_state)
     rn = _stage_renorm()  # intermediate renorm policy (see _stage_renorm)
+    hsp = ddm.presplit(hdd)  # one barrier-pinned split shared by all stages
 
     def stage(row, kl):
         s = ddm.dot_const(row, kl, exact=xs, renorm=rn)
-        return y + ddm.mul(s, hdd, renorm=rn)
+        return y + ddm.mul_presplit(s, hsp, renorm=rn)
 
     for i, row in enumerate(tab.DOP853_A):
         ks.append(rhs(t + C[i + 1] * h64, stage(row, ks)))
@@ -281,7 +283,7 @@ def dd_dop853_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     # subtraction below, where tight word bounds keep the dropped-term
     # budget at the proven level.
     kb = ddm.dot_const(tab.DOP853_B, ks, exact=xs)
-    ynew = y + ddm.mul(kb, hdd, renorm=rn)
+    ynew = y + ddm.mul_presplit(kb, hsp, renorm=rn)
 
     # Dual 8(5,3) error norm: both error sums cancel from O(|k|) to O(err),
     # so the dots run in dd; the norms run in f32 off the hi words

@@ -89,6 +89,11 @@ def dd_jac_fn(fun, args_, jac, n, jac_sparsity=None):
             return jnp.asarray(jac(t, y.hi, *args_),
                                jnp.float32).reshape(n, n)
         return jac_fn
+    if jac is not None:
+        # Constant Jacobian (array or scipy-sparse with .toarray).
+        arr = jac.toarray() if hasattr(jac, "toarray") else jac
+        J_const = jnp.asarray(np.asarray(arr), jnp.float32).reshape(n, n)
+        return lambda t, y: J_const
 
     def f32_rhs2(t, yy):
         out = fun(t, yy, *args_)

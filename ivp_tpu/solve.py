@@ -458,14 +458,18 @@ def solve_ivp(
         carry = run_chunk(carry, ra)
         k = int(carry.n_rec)
         if k:
+            # Slice on device BEFORE the host transfer (k is a host int, so
+            # [:k] is a static slice): a typical solve records ~1e2 steps
+            # into chunk_steps=4096-row buffers — fetching only the valid
+            # prefix cuts the device->host bytes ~40x on the latency path.
             # dd: recorded endpoints carry the full DD pair — lift to f64.
-            ry = ddm.to_f64(carry.rec_y) if use_dd else carry.rec_y
-            seg_t.append(np.asarray(carry.rec_t)[:k])
-            seg_y.append(np.asarray(ry)[:k])
-            seg_xold.append(np.asarray(carry.rec_xold)[:k])
-            seg_h.append(np.asarray(carry.rec_h)[:k])
+            ry = ddm.to_f64(carry.rec_y[:k]) if use_dd else carry.rec_y[:k]
+            seg_t.append(np.asarray(carry.rec_t[:k]))
+            seg_y.append(np.asarray(ry))
+            seg_xold.append(np.asarray(carry.rec_xold[:k]))
+            seg_h.append(np.asarray(carry.rec_h[:k]))
             if need_cont:
-                seg_cont.append(np.asarray(carry.rec_cont)[:k])
+                seg_cont.append(np.asarray(carry.rec_cont[:k]))
         if bool(carry.done):
             break
         carry = reset(carry)

@@ -183,6 +183,24 @@ def test_auto_dtype_cr3bp_gate_routes_to_f64_when_sampled():
                               sampled_output=True) == jnp.float64
 
 
+def test_dd_constant_jacobian():
+    """A constant-matrix jac= is honored by the dd stiff tier (it used to
+    fall through to jacfwd silently; ddtier.dd_jac_fn round 4)."""
+    A = np.array([[-2.0, 1.0], [1.0, -3.0]])
+
+    def f(t, y):
+        return jnp.asarray(A) @ y
+
+    from scipy.linalg import expm
+    exact = expm(A * 1.0) @ np.array([1.0, 2.0])
+    rdd = solve_ivp(f, (0.0, 1.0), [1.0, 2.0], method="Radau", jac=A,
+                    rtol=1e-8, atol=1e-10, dtype="dd")
+    assert rdd.success
+    # The constant jac path must not evaluate jacfwd: njev counts stay at
+    # the refresh cadence either way, but the solution must be right.
+    np.testing.assert_allclose(rdd.y[:, -1], exact, rtol=1e-6)
+
+
 def test_dd_rejects_mass_and_dae():
     with pytest.raises(ValueError, match="identity-mass"):
         solve_ivp(decay, (0.0, 1.0), [1.0, 1.0], method="Radau",
