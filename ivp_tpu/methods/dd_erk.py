@@ -14,7 +14,10 @@ Precision split per attempt:
                                      autonomous systems XLA dead-code
                                      eliminates the unused stage times)
 * error norm, controller, stiffness: f32       (chooses h only)
-* dense coefficients               : f32       (sampling/event localization)
+* dense coefficients               : dd, packed as (hi, lo) row pairs
+                                     (ddtier.dd_pack_cont) and interpolated
+                                     in f64 — dense samples, event states
+                                     and event times are f64-grade
 
 Algorithmic parity with methods/erk.py (itself at formula parity with
 reference src/methods/dopri5.rs:266-478, rk23.rs:188-321): identical
@@ -191,15 +194,17 @@ def dd_dopri5_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
 
     advance = accepted & ~stiff_fail
 
-    # --- Dense output, f32 off the hi words (sampling/event localization
-    #     precision; the solution path itself stays dd) ---
+    # --- Dense output: full-dd coefficients packed as (hi, lo) row pairs
+    #     (ddtier.dd_pack_cont) — dense samples / event states / event times
+    #     are f64-grade, matching the reference's full-Float cont buffers
+    #     (reference src/dense.rs:9-157; dopri5.rs:327-334,393-403) ---
     if p.need_cont:
-        from .base import dotk
-        khi = [k.hi for k in ks]
-        ydiff = ynew.hi - y.hi
-        bspl = h * k1.hi - ydiff
-        cont = jnp.stack([y.hi, ydiff, bspl, -h * k7.hi + ydiff - bspl,
-                          h * dotk(D, khi)])
+        from .ddtier import dd_pack_cont
+        ydiff = ynew - y
+        bspl = k1 * hdd - ydiff
+        cont = dd_pack_cont(ddm.stack([
+            y, ydiff, bspl, ydiff - k7 * hdd - bspl,
+            ddm.dot_const(D, ks) * hdd]))
     else:
         cont = jnp.zeros((0,) + y.shape, jnp.float32)
 
@@ -247,7 +252,6 @@ def dd_dopri5_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
 def dd_dop853_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
                       p: ERKParams):
     from jax import lax
-    from .base import dotk
     C = tab.DOP853_C
     h, posneg = ms.h, ms.posneg  # h, posneg: f32 (see dd_erk_init)
     facc1 = 1.0 / p.scale_min
@@ -344,15 +348,17 @@ def dd_dop853_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     stiff_fail = do_stiff & is_stiff & (iasti == 15)
     advance = accepted & ~stiff_fail
 
-    # --- Dense output: 8 f32 coefficients off the hi words ---
+    # --- Dense output: 8 full-dd coefficients packed as (hi, lo) row pairs
+    #     (ddtier.dd_pack_cont; reference dop853.rs:474-591) ---
     if p.need_cont:
-        k_all_hi = [k.hi for k in ks] + [f_new.hi, k14.hi, k15.hi, k16.hi]
-        ydiff = ynew.hi - y.hi
-        bspl = h * ks[0].hi - ydiff
-        rows = [y.hi, ydiff, bspl, ydiff - h * f_new.hi - bspl]
+        from .ddtier import dd_pack_cont
+        k_all = ks + [f_new, k14, k15, k16]
+        ydiff = ynew - y
+        bspl = ks[0] * hdd - ydiff
+        rows = [y, ydiff, bspl, ydiff - f_new * hdd - bspl]
         for r in range(4, 8):
-            rows.append(h * dotk(tab.DOP853_D[r], k_all_hi))
-        cont = jnp.stack(rows)
+            rows.append(ddm.dot_const(tab.DOP853_D[r], k_all) * hdd)
+        cont = dd_pack_cont(ddm.stack(rows))
     else:
         cont = jnp.zeros((0,) + y.shape, jnp.float32)
 
@@ -405,7 +411,6 @@ def dd_dop853_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
 
 def dd_rk23_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
                     p: ERKParams):
-    from .base import dotk
     h, posneg = ms.h, ms.posneg  # h, posneg: f32 (see dd_erk_init)
     too_small = 0.1 * jnp.abs(h) <= jnp.abs(t).astype(jnp.float32) * p.uround
     dtl64 = ra.tend - t
@@ -440,9 +445,10 @@ def dd_rk23_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     finished = accepted & (last | (t_new == ra.tend))
 
     if p.need_cont:
-        khi = [k.hi for k in ks]
-        cont = jnp.stack([y.hi, k1.hi, dotk(tab.RK23_D2, khi),
-                          dotk(tab.RK23_D3, khi)])
+        from .ddtier import dd_pack_cont
+        cont = dd_pack_cont(ddm.stack([
+            y, k1, ddm.dot_const(tab.RK23_D2, ks),
+            ddm.dot_const(tab.RK23_D3, ks)]))
     else:
         cont = jnp.zeros((0,) + y.shape, jnp.float32)
 
@@ -470,13 +476,6 @@ def dd_rk23_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
         count_step=accepted, count_reject=(~accepted) & ~too_small,
         ms=ms_new,
     )
-
-
-def dd_dopri5_interp(cont, xold, h, ti):
-    theta = ((ti - xold) / h).astype(cont.dtype)
-    theta1 = 1.0 - theta
-    return cont[0] + theta * (
-        cont[1] + theta1 * (cont[2] + theta * (cont[3] + theta1 * cont[4])))
 
 
 def dd_rk4_init(rhs, t0, y0: DD, first_step, ra: RunArgs, p: ERKParams):
@@ -515,7 +514,8 @@ def dd_rk4_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     k1_new = rhs(t_new, ynew)
 
     if p.need_cont:
-        cont = jnp.stack([y.hi, k1.hi, k1_new.hi, ynew.hi])
+        from .ddtier import dd_pack_cont
+        cont = dd_pack_cont(ddm.stack([y, k1, k1_new, ynew]))
     else:
         cont = jnp.zeros((0,) + y.shape, jnp.float32)
 
@@ -531,40 +531,27 @@ def dd_rk4_attempt(rhs, t, y: DD, naccpt, ms: ERKState, ra: RunArgs,
     )
 
 
-def dd_rk23_interp(cont, xold, h, ti):
-    s = ((ti - xold) / h).astype(cont.dtype)
-    hy = jnp.asarray(h).astype(cont.dtype)
-    return cont[0] + hy * (cont[1] * s + cont[2] * s * s + cont[3] * s ** 3)
-
-
-def dd_dop853_interp(cont, xold, h, ti):
-    s = ((ti - xold) / h).astype(cont.dtype)
-    s1 = 1.0 - s
-    conpar = cont[4] + s * (cont[5] + s1 * (cont[6] + s * cont[7]))
-    return cont[0] + s * (cont[1] + s1 * (cont[2] + s * (cont[3]
-                                                         + s1 * conpar)))
-
-
 def make_engine(method: str, need_cont: bool, **overrides):
+    from . import erk
+    from .ddtier import dd_wrap_interp
     method = method.upper()
     init = dd_erk_init
     if method in ("DOPRI5", "RK45"):
         cfg = dict(DOPRI5_DEFAULTS)
-        attempt, interp, ncoeff = dd_dopri5_attempt, dd_dopri5_interp, 5
+        attempt, interp, ncoeff = dd_dopri5_attempt, erk.dopri5_interp, 5
         name = "DOPRI5"
     elif method == "DOP853":
         from .erk import DOP853_DEFAULTS
         cfg = dict(DOP853_DEFAULTS)
-        attempt, interp, ncoeff = dd_dop853_attempt, dd_dop853_interp, 8
+        attempt, interp, ncoeff = dd_dop853_attempt, erk.dop853_interp, 8
         name = "DOP853"
     elif method == "RK23":
         cfg = dict(RK23_DEFAULTS)
-        attempt, interp, ncoeff = dd_rk23_attempt, dd_rk23_interp, 4
+        attempt, interp, ncoeff = dd_rk23_attempt, erk.rk23_interp, 4
         name = "RK23"
     elif method == "RK4":
-        from .erk import rk4_interp
         cfg = {}
-        attempt, interp, ncoeff = dd_rk4_attempt, rk4_interp, 4
+        attempt, interp, ncoeff = dd_rk4_attempt, erk.rk4_interp, 4
         name = "RK4"
         init = dd_rk4_init
     else:
@@ -574,12 +561,18 @@ def make_engine(method: str, need_cont: bool, **overrides):
     cfg.update(overrides)
     cfg.setdefault("controller_precision", "float32")
     p = ERKParams(method=name, need_cont=need_cont, **cfg)
-    eng = Engine(name=name, ncoeff=ncoeff if need_cont else 0,
-                 init=init, attempt=attempt, interp=interp,
+    eng = Engine(name=name, ncoeff=2 * ncoeff if need_cont else 0,
+                 init=init, attempt=attempt,
+                 # Dense coefficients are dd-packed (hi, lo) row pairs
+                 # (ddtier.dd_pack_cont) evaluated through the platform-f64
+                 # interpolant formula — dense samples, event states and
+                 # event times are f64-grade (reference src/dense.rs:9-157).
+                 interp=dd_wrap_interp(interp),
                  # Event/interp boundary adapters (base.py): event functions,
-                 # restart maps and event buffers see the f32 hi words (the
-                 # dense interpolant is f32-grade anyway); a restart re-enters
-                 # the dd state path with a zero low word.
-                 lower=lambda y: y.hi,
-                 lift=lambda a: DD(a, jnp.zeros_like(a)))
+                 # restart maps and event buffers see f64 views of the dd
+                 # state; a restart's (possibly modified) f64 state re-enters
+                 # the dd path with its exact split — full precision across
+                 # restarts.
+                 lower=ddm.to_f64,
+                 lift=ddm.from_f64)
     return eng, p

@@ -372,11 +372,15 @@ def make_dd_radau_attempt(jac_fn, p: RadauParams):
         c1r = (z2 - z3) * (1.0 / C2M1)
         c2r = (ak - c1r) * (1.0 / C1M1)
         c3r = c2r - acont3
+        cont_state = ddm.stack([y_new, c1r, c2r, c3r])
         if p.need_cont:
-            cont_out = jnp.stack([y_new.hi, c1r.hi, c2r.hi, c3r.hi])
+            # Full-dd dense coefficients packed as (hi, lo) row pairs
+            # (ddtier.dd_pack_cont): dense samples / event states are
+            # f64-grade (reference src/dense.rs:9-157, radau.rs:697-705).
+            from .ddtier import dd_pack_cont
+            cont_out = dd_pack_cont(cont_state)
         else:
             cont_out = jnp.zeros((0, n), f32)
-        cont_state = ddm.stack([y_new, c1r, c2r, c3r])
 
         f0_new = rhs(t_new, y_new)
         nfev = nfev + jnp.where(accepted, 1, 0).astype(jnp.int32)
@@ -485,8 +489,12 @@ def make_engine(need_cont: bool, *, jac_fn, const_jac=False, mass=None,
                     **overrides)
     init = make_dd_radau_init(jac_fn, p)
     attempt = make_dd_radau_attempt(jac_fn, p)
-    eng = Engine(name="RADAU", ncoeff=4 if need_cont else 0,
-                 init=init, attempt=attempt, interp=radau_interp,
-                 lower=lambda y: y.hi,
-                 lift=lambda a: DD(a, jnp.zeros_like(a)))
+    from .ddtier import dd_wrap_interp
+    eng = Engine(name="RADAU", ncoeff=8 if need_cont else 0,
+                 init=init, attempt=attempt,
+                 # dd-packed cont rows, f64-grade interpolation and
+                 # event/restart boundary views (see methods/dd_erk.py).
+                 interp=dd_wrap_interp(radau_interp),
+                 lower=ddm.to_f64,
+                 lift=ddm.from_f64)
     return eng, p

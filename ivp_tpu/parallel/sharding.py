@@ -103,15 +103,19 @@ def solve_ivp_sharded(fun, t_span, y0_batch, method="RK45", *, rtol=1e-3,
     if event_capacity is None:
         from ..batch import _auto_event_capacity
         event_capacity = _auto_event_capacity((B, n), events, dtype)
-    # dtype="auto": same precision-aware dd routing as the one-chip facades
-    # (methods/ddtier.py).
-    from ..methods.ddtier import resolve_auto_dtype
+    # The DEFAULT precision tier: ``dtype=None`` resolves like ``"auto"`` —
+    # the same precision-aware dd routing as the one-chip facades
+    # (methods/ddtier.py); ``dtype=jnp.float64`` is the platform-f64 escape
+    # hatch.
+    from ..methods.ddtier import (resolve_auto_dtype,
+                                  warn_below_emulation_floor)
     _so = solver_options or {}
     dtype = resolve_auto_dtype(
-        dtype, rtol=rtol,
+        "auto" if dtype is None else dtype, rtol=rtol,
         sampled_output=bool(t_eval is not None or dense_output
                             or record_trajectories or events is not None),
         has_mass="mass" in _so, has_dae="nind" in _so, method=str(method))
+    warn_below_emulation_floor(rtol, dtype)
     if isinstance(jac_sparsity, str):
         # jac_sparsity="auto": detect on the host around lane 0 before the
         # sharded solver is built (core/sparsity.py; with per-lane args the

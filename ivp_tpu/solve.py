@@ -224,14 +224,17 @@ def solve_ivp(
     precision from the framework's own double-f32 arithmetic
     (core/ddmath.py) at 1.7-2x the platform's emulated-f64 throughput on
     TPU.  Step sequences match the platform-f64 engines through rtol 1e-13;
-    recorded step endpoints (``result.t/y`` rows, final state) keep full
-    f64-class precision; dense output / ``t_eval`` samples / event *states*
-    are interp-grade (f32 views), while event/step *times* stay f64.
+    the whole output surface is f64-grade (round 5): recorded step
+    endpoints carry the full DD pair, dense coefficients are recorded as
+    dd (hi, lo) pairs and interpolated in f64, and event values/states/
+    times are f64 (methods/ddtier.py::dd_pack_cont) — precision-uniform
+    like the reference's Float tier (reference src/lib.rs:78-85).
 
-    ``dtype="auto"``: precision-aware routing — the dd tier on TPUs (where
-    platform f64 is software emulation), platform f64 on CPU/GPU, for
-    mass/DAE problems, and when tight-tolerance (rtol < 1e-6) sampled
-    output is requested (methods/ddtier.py::resolve_auto_dtype).
+    ``dtype=None`` (the default) resolves like ``"auto"``: the dd tier on
+    TPUs (where platform f64 is software emulation), platform f64 on
+    CPU/GPU and for mass/DAE problems
+    (methods/ddtier.py::resolve_auto_dtype).  ``dtype=jnp.float64`` is the
+    explicit platform-f64 escape hatch.
 
     ``result.event_overflow`` flags events whose fixed-capacity record
     buffer (``event_capacity``) dropped occurrences.
@@ -260,16 +263,20 @@ def solve_ivp(
             time_dtype=time_dtype, chunk_steps=chunk_steps,
             event_capacity=event_capacity, solver_options=solver_options,
             max_restarts=max_restarts)
-    # dtype="auto": precision-aware routing to the dd tier on TPUs (the
-    # framework's fastest f64-class execution path, methods/ddtier.py);
-    # dtype="dd" requests it explicitly.
-    from .methods.ddtier import is_dd, resolve_auto_dtype
+    # The DEFAULT precision tier: ``dtype=None`` resolves like ``"auto"`` —
+    # the dd double-float tier on TPUs (the framework's fastest f64-class
+    # execution path, methods/ddtier.py), platform f64 on CPU/GPU and for
+    # mass/DAE problems.  ``dtype=jnp.float64`` is the explicit platform-f64
+    # escape hatch; ``dtype="dd"`` requests the dd tier unconditionally.
+    from .methods.ddtier import (is_dd, resolve_auto_dtype,
+                                 warn_below_emulation_floor)
     has_dae = any(v is not None for v in (nind1, nind2, nind3))
     dtype = resolve_auto_dtype(
-        dtype, rtol=rtol,
+        "auto" if dtype is None else dtype, rtol=rtol,
         sampled_output=bool(t_eval is not None or dense_output
                             or events is not None),
         has_mass=mass is not None, has_dae=has_dae, method=str(method))
+    warn_below_emulation_floor(rtol, dtype)
     use_dd = is_dd(dtype)
     if use_dd:
         if mass is not None or has_dae:
@@ -351,11 +358,14 @@ def solve_ivp(
             return jnp.asarray(fun(t, y, *args), dtype).reshape(n)
 
     if n_events:
-        # Event functions see plain-array state views (Engine.lower: the dd
-        # tier's f32 hi words; event *times* keep time-dtype resolution).
+        # Event functions see plain-array state views (Engine.lower: f64
+        # views of the dd state since round 5, so event values, states and
+        # times are all f64-grade on every tier).
+        ev_dt = jnp.float64 if use_dd else dtype
+
         def events_fn(t, y):
             return jnp.stack(
-                [jnp.asarray(e(t, y, *args), dtype).reshape(()) for e in ev_list]
+                [jnp.asarray(e(t, y, *args), ev_dt).reshape(()) for e in ev_list]
             )
     else:
         events_fn = None

@@ -150,16 +150,17 @@ def test_auto_dtype_routing_rules():
     # Lean final-state request: dd on TPU, platform f64 elsewhere.
     r = resolve_auto_dtype("auto", rtol=1e-12, sampled_output=False)
     assert is_dd(r) if on_tpu else r == jnp.float64
-    # Tight-rtol sampled output: always platform f64 (dd interp is f32-grade).
-    assert resolve_auto_dtype("auto", rtol=1e-9,
-                              sampled_output=True) == jnp.float64
-    # Loose-rtol sampled output: dd on TPU.
-    r = resolve_auto_dtype("auto", rtol=1e-4, sampled_output=True)
-    assert is_dd(r) if on_tpu else r == jnp.float64
+    # Round 5: sampled output no longer forces a fallback at ANY rtol —
+    # dense coefficients are dd-packed and interpolated in f64
+    # (ddtier.dd_pack_cont), so the dd tier is precision-uniform.
+    for rtol in (1e-4, 1e-9, 1e-12):
+        r = resolve_auto_dtype("auto", rtol=rtol, sampled_output=True)
+        assert is_dd(r) if on_tpu else r == jnp.float64
     # Mass/DAE: always platform f64.
     assert resolve_auto_dtype("auto", rtol=1e-3, has_mass=True) == jnp.float64
     assert resolve_auto_dtype("auto", rtol=1e-3, has_dae=True) == jnp.float64
-    # Non-auto values pass through.
+    # Non-auto values pass through (None is mapped to "auto" by the
+    # facades, not here).
     assert resolve_auto_dtype(jnp.float32) == jnp.float32
     assert is_dd(resolve_auto_dtype("dd"))
     assert resolve_auto_dtype(None) is None
@@ -175,12 +176,65 @@ def test_auto_dtype_solves_correctly():
     np.testing.assert_allclose(r.y[:, -1], exact, rtol=1e-8)
 
 
-def test_auto_dtype_cr3bp_gate_routes_to_f64_when_sampled():
-    """The CR3BP-style request (tight rtol + dense output) must route to
-    platform f64 under auto — dd's interp-grade dense output cannot meet a
-    1e-12 budget."""
-    assert resolve_auto_dtype("auto", rtol=1e-12,
-                              sampled_output=True) == jnp.float64
+def test_dd_dense_output_is_f64_grade():
+    """Round-5 VERDICT #2: the dd tier's dense output / t_eval samples /
+    event states are f64-grade (dd-packed cont + f64 interpolation), so
+    sampled requests no longer fall back to platform f64 under auto.  On
+    this CPU test backend the dd state floor is the FMA-contraction noise
+    (~1e-7 after long chains, core/ddmath.py) — the interpolant must sit
+    on the state, not add an f32-grade error of its own."""
+    te = np.linspace(0.0, 10.0, 23)
+    r64 = solve_ivp(sho, (0.0, 10.0), [1.0, 0.0], method="DOP853",
+                    rtol=1e-10, atol=1e-12, t_eval=te, dense_output=True)
+    rdd = solve_ivp(sho, (0.0, 10.0), [1.0, 0.0], method="DOP853",
+                    rtol=1e-10, atol=1e-12, t_eval=te, dense_output=True,
+                    dtype="dd")
+    assert rdd.nstep == r64.nstep  # same controller decisions
+    # Sampled outputs track the f64 engine to the CPU dd state floor —
+    # an f32-grade interpolant (the pre-round-5 design) would sit at
+    # ~6e-8 * |y| ~ 1e-7 minimum even for a perfect state.
+    np.testing.assert_allclose(rdd.y, r64.y, atol=2e-7)
+    tq = np.linspace(0.05, 9.95, 101)
+    np.testing.assert_allclose(rdd.sol(tq), r64.sol(tq), atol=2e-7)
+    # The cont record carries dd pairs: low-word rows must be populated.
+    conts = rdd.sol._conts
+    C = conts.shape[1] // 2
+    assert conts.dtype == np.float32 and C == 8
+    assert np.abs(conts[:, C]).max() > 0.0  # lo word of row 0 nonzero
+
+
+def test_dd_event_times_f64_grade():
+    """dd event localization refines through the f64-grade interpolant:
+    event times must beat f32 resolution (~1e-7 * t) comfortably."""
+    def ev(t, y):
+        return y[0]
+    ev.direction = -1.0
+    r = solve_ivp(sho, (0.0, 10.0), [1.0, 0.0], method="RK45",
+                  rtol=1e-9, atol=1e-12, events=[ev], dtype="dd")
+    assert r.success is True or r.success == 1
+    expected = np.array([np.pi / 2, 2.5 * np.pi])
+    assert np.abs(np.asarray(r.t_events[0]) - expected).max() < 5e-8
+    # Event states are recorded in f64 now (lowered views).
+    assert np.asarray(r.y_events[0]).dtype == np.float64
+
+
+def test_emulation_floor_warning(monkeypatch):
+    """On emulated-f64 backends (TPU), rtol below ddtier.
+    EMULATION_RTOL_FLOOR warns (TPU_NOTES #36); on CPU it never fires."""
+    import warnings as _w
+    from ivp_tpu.methods import ddtier
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # CPU: must not warn
+        ddtier.warn_below_emulation_floor(1e-14, jnp.float64)
+    monkeypatch.setattr(ddtier.jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="noise floor"):
+        ddtier.warn_below_emulation_floor(1e-12, "dd")
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # above the floor: no warning
+        ddtier.warn_below_emulation_floor(1e-9, "dd")
+        # explicit f32 requests are exempt
+        ddtier.warn_below_emulation_floor(1e-12, jnp.float32)
 
 
 def test_dd_constant_jacobian():
