@@ -15,6 +15,7 @@ import sys
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import ivp_tpu  # noqa: F401  (x64 on)
@@ -28,7 +29,7 @@ def build(method, N, solver_options):
     rhs, jac, y0f = make_brusselator(N)
     start, resume, extract = build_resumable_solver(
         rhs, method, n=n, jac=jac, chunk_steps=2048,
-        solver_options=solver_options)
+        solver_options=solver_options, dtype=jnp.float64)
     return start, resume, extract, y0f
 
 

@@ -22,6 +22,7 @@ import sys
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -46,7 +47,7 @@ for method in METHODS:
         so = {"newton_precision": "mixed", "jac_precision": jp}
         start, resume, extract = build_resumable_solver(
             rhs, method, n=n, jac=jac if USE_JAC else None,
-            chunk_steps=2048, solver_options=so)
+            chunk_steps=2048, solver_options=so, dtype=jnp.float64)
 
         def run(start=start, resume=resume, extract=extract):
             carry, ra = start(y0, 0.0, 10.0, 1e-4, 1e-6)

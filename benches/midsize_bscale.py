@@ -15,6 +15,7 @@ import sys
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 import jax  # noqa: F401
 
@@ -35,7 +36,7 @@ def build(N, B):
     rhs, jac, y0f = make_brusselator(N)
     start, resume, extract = build_resumable_solver(
         rhs, "Radau", n=n, jac=jac, chunk_steps=2048,
-        solver_options={"newton_precision": "mixed"})
+        solver_options={"newton_precision": "mixed"}, dtype=jnp.float64)
     y0 = y0f(B, np.random.default_rng(0))
 
     def run(eps):

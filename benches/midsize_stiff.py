@@ -72,9 +72,12 @@ def measure(method, N, B, solver_options=None, tf=10.0, rtol=1e-4, atol=1e-6,
             label="", dtype=None):
     n = 2 * N
     rhs, jac, y0f = make_brusselator(N)
+    # dtype=None would resolve to the dd tier under the round-5 default;
+    # this sweep's unlabeled rows mean PLATFORM F64 — pin it.
     start, resume, extract = build_resumable_solver(
         rhs, method, n=n, jac=jac, chunk_steps=2048,
-        solver_options=solver_options, dtype=dtype)
+        solver_options=solver_options,
+        dtype=jnp.float64 if dtype is None else dtype)
     if isinstance(dtype, str):
         label = label + f"/{dtype}"
     rng = np.random.default_rng(0)

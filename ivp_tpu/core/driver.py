@@ -72,6 +72,15 @@ class Carry(NamedTuple):
     s_cursor: Any  # int32 — next t_grid sample to emit
     sample_y: Any  # (sample_cap, n) in-loop interpolated samples
     n_restarts: Any  # int32 — in-device event restarts performed
+    # Last accepted segment (sample mode only; zero-size otherwise): the
+    # stall-based t_grid emission interpolates due samples from this
+    # carried segment, one per body iteration, instead of a nested
+    # while_loop per step (which cost ~10x the lean loop under vmap —
+    # round-5 measurement, docs/BENCH.md).
+    seg_cont: Any   # (C, n) dense coefficients of the last accepted step
+    seg_xold: Any   # left edge
+    seg_h: Any      # signed step size
+    seg_valid: Any  # bool — at least one step accepted
 
 
 def _i32(v):
@@ -90,6 +99,10 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
     has_events = spec is not None and spec.n_events > 0
     cap = cfg.rec_cap
     C = cfg.ncoeff if cfg.record_cont else 0
+    # Carried-segment cont rows for stall-based sampling: sized from the
+    # ENGINE (cfg.ncoeff is 0 in the lean ensemble mode, but the engine
+    # still produces (ncoeff, n) cont when sampling needs it).
+    Cs = engine.ncoeff if cfg.sample_cap else 0
     restart_fns = list(restart_fns or [])
     has_restarts = (has_events and cfg.max_restarts > 0
                     and any(f is not None for f in restart_fns))
@@ -145,11 +158,22 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             s_cursor=_i32(0),
             sample_y=jnp.zeros((cfg.sample_cap, n), odt),
             n_restarts=_i32(0),
+            seg_cont=jnp.zeros((Cs, n), dtype),
+            seg_xold=jnp.zeros((), tdt),
+            seg_h=jnp.zeros((), tdt),
+            seg_valid=jnp.zeros((), bool),
         )
 
-    def body(c: Carry, ra: RunArgs) -> Carry:
+    def step_body(c: Carry, ra: RunArgs, stall=None) -> Carry:
+        """One step attempt.  ``stall`` (sample mode): boolean — when True
+        this iteration is an emission-only iteration and every effect of
+        the attempt is masked out field-by-field (cheap scalar/row selects
+        and dropped scatter writes — NO whole-carry select, which would
+        materialize the big sample/record buffers every iteration)."""
         res = engine.attempt(rhs, c.t, c.y, c.naccpt, c.ms, ra, p)
         adv = res.advance
+        act = jnp.ones((), bool) if stall is None else ~stall
+        adv = adv & act
 
         # ---- Events (on advanced steps only) ----
         if has_events:
@@ -239,40 +263,27 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             rec_xold, rec_h, rec_cont = c.rec_xold, c.rec_h, c.rec_cont
             n_rec = c.n_rec
 
-        # ---- In-loop t_grid emission (bounded-memory trajectory sampling;
-        #      the in-loop counterpart of reference solout.rs:344-386) ----
+        # ---- Carried segment for stall-based t_grid emission ----
+        # (the emission itself happens in the wrapping ``body`` below, one
+        # sample per iteration, from this carried last-accepted segment)
         if cfg.sample_cap:
-            posneg = c.ms.posneg
-
-            def emit_cond(sc):
-                cur, _ = sc
-                tau = jnp.where(cur < cfg.sample_cap,
-                                ra.t_grid[jnp.minimum(cur, cfg.sample_cap - 1)],
-                                ra.tend)
-                in_step = (cur < cfg.sample_cap) & \
-                          ((tau - t_rec) * posneg <= 0.0)
-                return adv & in_step
-
-            def emit_body(sc):
-                cur, buf = sc
-                tau = ra.t_grid[jnp.minimum(cur, cfg.sample_cap - 1)]
-                yi = engine.interp(res.cont, res.xold, res.h_used, tau)
-                buf = buf.at[jnp.minimum(cur, cfg.sample_cap - 1)].set(
-                    yi.astype(buf.dtype))
-                return cur + 1, buf
-
-            s_cursor, sample_y = lax.while_loop(
-                emit_cond, emit_body, (c.s_cursor, c.sample_y))
+            seg_cont = jnp.where(adv, res.cont, c.seg_cont)
+            seg_xold = jnp.where(adv, res.xold, c.seg_xold)
+            seg_h = jnp.where(adv, res.h_used, c.seg_h)
+            seg_valid = c.seg_valid | adv
         else:
-            s_cursor, sample_y = c.s_cursor, c.sample_y
+            seg_cont, seg_xold = c.seg_cont, c.seg_xold
+            seg_h, seg_valid = c.seg_h, c.seg_valid
+        s_cursor, sample_y = c.s_cursor, c.sample_y
 
-        # ---- Counters ----
-        nstep = c.nstep + res.count_step.astype(jnp.int32)
-        naccpt = c.naccpt + res.accepted.astype(jnp.int32)
-        nrejct = c.nrejct + res.count_reject.astype(jnp.int32)
-        nfev = c.nfev + res.nfev_inc
-        njev = c.njev + res.njev_inc
-        nlu = c.nlu + res.nlu_inc
+        # ---- Counters (masked out on stall iterations) ----
+        zero = _i32(0)
+        nstep = c.nstep + (res.count_step & act).astype(jnp.int32)
+        naccpt = c.naccpt + (res.accepted & act).astype(jnp.int32)
+        nrejct = c.nrejct + (res.count_reject & act).astype(jnp.int32)
+        nfev = c.nfev + jnp.where(act, res.nfev_inc, zero)
+        njev = c.njev + jnp.where(act, res.njev_inc, zero)
+        nlu = c.nlu + jnp.where(act, res.nlu_inc, zero)
 
         # ---- Status resolution (priority: engine failure > terminal event >
         #      reached tend > step budget) ----
@@ -284,14 +295,34 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
         running = status == Status.RUNNING
         status = jnp.where(running & (nstep > ra.max_steps),
                            _i32(Status.NEED_LARGER_NMAX), status)
+
+        # ---- Stall masking of the state advance (sample mode) ----
+        # res.t_new/y_new already fall back to (t, y) on rejected attempts,
+        # but an ACCEPTED attempt during a stall iteration must be fully
+        # discarded: gate t/y/ms/status on ``act`` (cheap per-lane selects;
+        # the record/event buffers were gated through ``adv`` above).
+        t_step = t_rec if has_events else res.t_new
+        y_step = y_rec if has_events else res.y_new
+        if stall is not None:
+            t_step = jnp.where(act, t_step, c.t)
+            y_step = tree_where(act, y_step, c.y)
+            ms_next = tree_where(act, ms_next, c.ms)
+            status = jnp.where(act, status, c.status)
         done = status != Status.RUNNING
+        if cfg.sample_cap:
+            # A lane whose engine is finished may still owe due samples:
+            # defer ``done`` until the emission path (body) drains them.
+            tau_n = ra.t_grid[jnp.minimum(c.s_cursor, cfg.sample_cap - 1)]
+            pend = ((c.s_cursor < cfg.sample_cap) & seg_valid
+                    & ((tau_n - t_step) * c.ms.posneg <= 0.0))
+            done = done & ~pend
 
         # On terminal events the trajectory ends at the event point (the
         # reference reports the event point as the final sample,
         # solout.rs:314-325).
         return Carry(
-            t=t_rec if has_events else res.t_new,
-            y=y_rec if has_events else res.y_new,
+            t=t_step,
+            y=y_step,
             ms=ms_next,
             status=status, done=done,
             nfev=nfev, njev=njev, nlu=nlu,
@@ -301,7 +332,49 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             ev=ev_new,
             s_cursor=s_cursor, sample_y=sample_y,
             n_restarts=n_restarts,
+            seg_cont=seg_cont, seg_xold=seg_xold, seg_h=seg_h,
+            seg_valid=seg_valid,
         )
+
+    def body(c: Carry, ra: RunArgs) -> Carry:
+        """One driver iteration: either one step attempt (step_body) or —
+        when a t_grid sample is due inside the already-covered span — one
+        sample emission from the carried segment, with the step attempt's
+        results discarded (the lane "stalls" until its due samples are
+        drained, so every sample interpolates the segment that covered it:
+        identical semantics to the reference's in-callback sampling,
+        solout.rs:344-386).  This replaces a nested per-step while_loop
+        whose mere presence cost ~10x the lean loop under vmap (round-5
+        measurement, docs/BENCH.md): now sampling costs one masked interp
+        per iteration plus one extra iteration per emitted sample."""
+        if not cfg.sample_cap:
+            return step_body(c, ra)
+        posneg = c.ms.posneg
+        idx = jnp.minimum(c.s_cursor, cfg.sample_cap - 1)
+        tau = ra.t_grid[idx]
+        due = ((c.s_cursor < cfg.sample_cap) & c.seg_valid
+               & ((tau - c.t) * posneg <= 0.0))
+
+        c2 = step_body(c, ra, stall=due)
+
+        # Emission merge: one masked one-hot row write into the sample
+        # buffer (c2.sample_y is c.sample_y — the step path never touches
+        # it), cursor bump, and done-recomputation covering both paths.
+        # One-hot masked select instead of .at[idx].set: a per-lane
+        # dynamic-index scatter/gather on the (m, n) buffer lowers
+        # catastrophically under vmap on TPU (measured 5x the whole solve;
+        # TPU_NOTES #2's gather/scatter rule applies outside LU too).
+        yi = engine.interp(c.seg_cont, c.seg_xold, c.seg_h, tau)
+        write = due & (jnp.arange(cfg.sample_cap) == idx)      # (m,)
+        sample_y = jnp.where(write[:, None],
+                             yi.astype(c.sample_y.dtype)[None, :],
+                             c.sample_y)
+        s_cursor = c.s_cursor + due.astype(jnp.int32)
+        tau2 = ra.t_grid[jnp.minimum(s_cursor, cfg.sample_cap - 1)]
+        still = ((s_cursor < cfg.sample_cap) & c2.seg_valid
+                 & ((tau2 - c2.t) * posneg <= 0.0))
+        done = (c2.status != Status.RUNNING) & ~still
+        return c2._replace(sample_y=sample_y, s_cursor=s_cursor, done=done)
 
     if cfg.unroll > 1 and cap:
         raise ValueError("driver unroll requires rec_cap == 0 (lean mode)")
