@@ -34,9 +34,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
+# The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS
+# (see tests/conftest.py): honor an explicit CPU request by pinning the
+# platform through jax.config too.
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    _CACHE = "/tmp/ivp_tpu_jax_cache"
+else:
+    _CACHE = "/tmp/ivp_tpu_jax_cache_tpu"
 # Same persistent compile cache as bench.py: the 7 configs cost ~minutes of
 # compiles otherwise, and compile time is excluded from the latency numbers.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ivp_tpu_jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REPS = int(os.environ.get("IVP_TPU_LAT_REPS", "7"))

@@ -630,6 +630,21 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
                     else None),
         )
 
+    # dd: keep first_step at full (time-dtype) resolution — RK4's
+    # fixed h must not be f32-rounded (methods/dd_erk.py::dd_rk4_init);
+    # the adaptive engines' init casts to f32 themselves.
+    _fs_dt = tdt if use_dd else dtype
+    _fs = (jnp.asarray(first_step, _fs_dt) if first_step is not None
+           else None)
+
+    @jax.jit
+    def _vinit(y0_batch, t0_b, ra):
+        """Jitted vmapped init: eager per-op dispatch of init_carry
+        (hinit RHS evals, dd splits) cost seconds per facade call through
+        the remote-execution tunnel (round-5 measurement)."""
+        return jax.vmap(lambda y0, tt, r: init_carry(tt, y0, _fs, r),
+                        in_axes=(0, 0, _ra_axes(ra)))(y0_batch, t0_b, ra)
+
     def start(y0_batch, t0, tf, rtol, atol):
         if use_dd:
             y0_batch = ddm.from_f64(jnp.asarray(y0_batch, jnp.float64))
@@ -659,13 +674,7 @@ def build_resumable_solver(fun, method="RK45", *, n, dtype=None, args=(),
             hmin=jnp.asarray(abs(min_step), tdt),
             max_steps=jnp.asarray(max_steps, jnp.int32), t_grid=grid)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
-        # dd: keep first_step at full (time-dtype) resolution — RK4's
-        # fixed h must not be f32-rounded (methods/dd_erk.py::dd_rk4_init);
-        # the adaptive engines' init casts to f32 themselves.
-        fs_dt = tdt if use_dd else dtype
-        fs = jnp.asarray(first_step, fs_dt) if first_step is not None else None
-        carry = jax.vmap(lambda y0, tt, r: init_carry(tt, y0, fs, r),
-                         in_axes=(0, 0, _ra_axes(ra)))(y0_batch, t0_b, ra)
+        carry = _vinit(y0_batch, t0_b, ra)
         return carry, ra
 
     @jax.jit
@@ -1082,6 +1091,21 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
                     else None),
         )
 
+    # dd: keep first_step at full (time-dtype) resolution — RK4's
+    # fixed h must not be f32-rounded (methods/dd_erk.py::dd_rk4_init);
+    # the adaptive engines' init casts to f32 themselves.
+    _fs_dt = tdt if use_dd else dtype
+    _fs = (jnp.asarray(first_step, _fs_dt) if first_step is not None
+           else None)
+
+    @jax.jit
+    def _vinit(y0_batch, t0_b, ra):
+        """Jitted vmapped init: eager per-op dispatch of init_carry
+        (hinit RHS evals, dd splits) cost seconds per facade call through
+        the remote-execution tunnel (round-5 measurement)."""
+        return jax.vmap(lambda y0, tt, r: init_carry(tt, y0, _fs, r),
+                        in_axes=(0, 0, _ra_axes(ra)))(y0_batch, t0_b, ra)
+
     def start(y0_batch, t0, tf, rtol, atol):
         if use_dd:
             y0_batch = ddm.from_f64(jnp.asarray(y0_batch, jnp.float64))
@@ -1106,13 +1130,7 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
             hmin=jnp.asarray(abs(min_step), tdt),
             max_steps=jnp.asarray(max_steps, jnp.int32), t_grid=grid)
         t0_b = jnp.broadcast_to(jnp.asarray(t0, tdt), (B,))
-        # dd: keep first_step at full (time-dtype) resolution — RK4's
-        # fixed h must not be f32-rounded (methods/dd_erk.py::dd_rk4_init);
-        # the adaptive engines' init casts to f32 themselves.
-        fs_dt = tdt if use_dd else dtype
-        fs = jnp.asarray(first_step, fs_dt) if first_step is not None else None
-        carry = jax.vmap(lambda y0, tt, r: init_carry(tt, y0, fs, r),
-                         in_axes=(0, 0, _ra_axes(ra)))(y0_batch, t0_b, ra)
+        carry = _vinit(y0_batch, t0_b, ra)
         return carry, ra
 
     @jax.jit
@@ -1146,12 +1164,15 @@ def _drain_recording(entry, y0_batch, t0, tf, rtol, atol, preload=None):
             # records the state representation) — lift to f64 on drain.
             rec_y = (ddm.to_f64(carry.rec_y)
                      if isinstance(carry.rec_y, ddm.DD) else carry.rec_y)
+            rc = None
+            if dense_output:
+                # Flat (B, cap, C*n) record rows -> (B, cap, C, n).
+                rc = np.asarray(carry.rec_cont)
+                rc = rc.reshape(rc.shape[0], rc.shape[1], -1, n)
             chunks.append((k, np.asarray(carry.rec_t),
                            np.asarray(rec_y),
                            np.asarray(carry.rec_xold),
-                           np.asarray(carry.rec_h),
-                           np.asarray(carry.rec_cont) if dense_output
-                           else None))
+                           np.asarray(carry.rec_h), rc))
         if bool(np.all(np.asarray(carry.done))):
             break
         carry = vreset(carry)

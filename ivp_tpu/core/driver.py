@@ -67,7 +67,13 @@ class Carry(NamedTuple):
     #                keep full f64-class precision; the facades lift on drain)
     rec_xold: Any  # (cap,)
     rec_h: Any     # (cap,)
-    rec_cont: Any  # (cap, C, n) or (cap, 0, n)
+    rec_cont: Any  # (cap, C*n) FLATTENED dense-coefficient records
+    #                ((cap, 0) when cont recording is off).  Flat layout
+    #                is deliberate: a (cap, C, n) buffer gets a tiled
+    #                TPU layout padding the minor (C, n) dims ~10x
+    #                (measured 8.0G for 768M of dd cont records — OOM);
+    #                the flat minor dim tiles at ~1x.  Drains reshape
+    #                to (k, C, n).
     ev: EvState
     s_cursor: Any  # int32 — next t_grid sample to emit
     sample_y: Any  # (sample_cap, n) in-loop interpolated samples
@@ -153,7 +159,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
                 lambda a: jnp.zeros((cap,) + a.shape, a.dtype), y0),
             rec_xold=jnp.zeros((cap,), tdt),
             rec_h=jnp.zeros((cap,), tdt),
-            rec_cont=jnp.zeros((cap, C, n), dtype),
+            rec_cont=jnp.zeros((cap, C * n), dtype),
             ev=ev,
             s_cursor=_i32(0),
             sample_y=jnp.zeros((cfg.sample_cap, n), odt),
@@ -249,14 +255,24 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
 
         # ---- Record the accepted step ----
         if cap:
-            idx = jnp.where(adv, c.n_rec, cap)  # out-of-bounds => dropped
-            rec_t = c.rec_t.at[idx].set(t_rec, mode="drop")
-            rec_y = jax.tree.map(
-                lambda b, v: b.at[idx].set(v, mode="drop"), c.rec_y, y_rec)
-            rec_xold = c.rec_xold.at[idx].set(res.xold, mode="drop")
-            rec_h = c.rec_h.at[idx].set(res.h_used, mode="drop")
-            rec_cont = (c.rec_cont.at[idx].set(res.cont, mode="drop")
-                        if C else c.rec_cont)
+            # One-hot masked row selects instead of .at[idx].set: per-lane
+            # dynamic-index scatters under vmap lower catastrophically on
+            # TPU (measured 100x the lean loop on the recording tier;
+            # same pathology as the sample write above, TPU_NOTES #2).
+            # arange == n_rec is all-False once the buffer is full
+            # (n_rec == cap), reproducing mode="drop".
+            onehot = adv & (jnp.arange(cap) == c.n_rec)           # (cap,)
+
+            def _oh(buf, val):
+                mask = onehot.reshape((cap,) + (1,) * (buf.ndim - 1))
+                return jnp.where(mask, val, buf)
+
+            rec_t = _oh(c.rec_t, t_rec)
+            rec_y = jax.tree.map(_oh, c.rec_y, y_rec)
+            rec_xold = _oh(c.rec_xold, res.xold)
+            rec_h = _oh(c.rec_h, res.h_used)
+            rec_cont = (_oh(c.rec_cont, res.cont.reshape(-1)) if C
+                        else c.rec_cont)
             n_rec = c.n_rec + adv.astype(jnp.int32)
         else:
             rec_t, rec_y = c.rec_t, c.rec_y

@@ -121,12 +121,16 @@ def process_events(events_fn, interp, cont, xold, h_used,
     cut_key = jnp.min(term_key)
     record = crossed & jnp.where(terminal, order_key <= cut_key, True)
 
-    # Record occurrences (saturating ring-free buffers; out-of-bounds writes
-    # dropped so a full buffer just stops recording).
-    idx = jnp.where(record & (ev.n_rec < spec.cap), ev.n_rec, spec.cap)
-    rows = jnp.arange(E)
-    t_buf = ev.t_buf.at[rows, idx].set(roots, mode="drop")
-    y_buf = ev.y_buf.at[rows, idx].set(y_roots, mode="drop")
+    # Record occurrences (saturating ring-free buffers; a full buffer just
+    # stops recording).  One-hot masked row selects instead of
+    # .at[rows, idx].set: per-lane dynamic-index scatters under vmap lower
+    # catastrophically on TPU (same pathology as the driver's record
+    # buffers, TPU_NOTES #2); arange == n_rec is all-False once n_rec
+    # saturates at cap, reproducing mode="drop".
+    mask = (record[:, None]
+            & (jnp.arange(spec.cap)[None, :] == ev.n_rec[:, None]))  # (E,cap)
+    t_buf = jnp.where(mask, roots[:, None], ev.t_buf)
+    y_buf = jnp.where(mask[:, :, None], y_roots[:, None, :], ev.y_buf)
     n_rec = ev.n_rec + record.astype(jnp.int32)
     hits = ev.hits + record.astype(jnp.int32)
 

@@ -479,7 +479,9 @@ def solve_ivp(
             seg_xold.append(np.asarray(carry.rec_xold[:k]))
             seg_h.append(np.asarray(carry.rec_h[:k]))
             if need_cont:
-                seg_cont.append(np.asarray(carry.rec_cont[:k]))
+                # Flat (k, C*n) record rows -> (k, C, n) (driver.Carry).
+                seg_cont.append(
+                    np.asarray(carry.rec_cont[:k]).reshape(k, -1, n))
         if bool(carry.done):
             break
         carry = reset(carry)
