@@ -9,6 +9,11 @@ trajectories.
 Run on CPU:  JAX_PLATFORMS=cpu python benches/benchmark.py
 Run on TPU:  python benches/benchmark.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -10,6 +10,11 @@ across an ensemble axis for the first time).
 Run on TPU: ``python benches/midsize_stiff.py``; prints one JSON line per
 config.  Env: IVP_TPU_MID_B (default 4096), IVP_TPU_BANDED_B (default 256).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import time

@@ -12,6 +12,11 @@ item) with numbers instead of a shrug:
 Run on TPU: ``python benches/roofline.py`` -> one JSON line per dtype.
 Env: IVP_TPU_BENCH_B (default 131072), IVP_TPU_ROOF_STEPS (default 200).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import time
