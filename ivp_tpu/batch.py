@@ -1074,7 +1074,12 @@ def build_recording_solver(fun, method="RK45", *, n, dtype=None, args=(),
             const_jac=const_jac, n=n,
             **_auto_band_opts(method_c, solver_options, jac_sparsity,
                                   dtype=dtype))
+    # Scan-based recording (driver.DriverConfig.rec_scan): under vmap the
+    # while-design's per-lane record writes lower as scatters / full-buffer
+    # selects (measured 20-100x the lean loop, docs/BENCH.md round 5);
+    # the scan chunk records through stacked scan outputs instead.
     cfg = DriverConfig(rec_cap=rec_chunk, record_cont=dense_output,
+                       rec_scan=True,
                        ncoeff=engine.ncoeff, event_spec=ev_spec,
                        sample_cap=sample_cap, max_restarts=max_restarts)
     restart_fns = [getattr(e, "restart", None) for e in ev_list]
@@ -1155,30 +1160,29 @@ def _drain_recording(entry, y0_batch, t0, tf, rtol, atol, preload=None):
     if preload is not None:
         carry = preload(carry)
 
-    chunks = []  # (n_rec (B,), rec_t, rec_y, rec_xold, rec_h, rec_cont)
+    chunks = []  # (valid (B,cap), rec_t, rec_y, rec_xold, rec_h, rec_cont)
     while True:
-        carry = run_vchunk(carry, ra)
-        k = np.asarray(carry.n_rec)
-        if k.any():
+        carry, recs = run_vchunk(carry, ra)
+        valid = np.asarray(recs.valid)                          # (B, cap)
+        if valid.any():
             # dd tier: recorded endpoints carry the full DD pair (driver
             # records the state representation) — lift to f64 on drain.
-            rec_y = (ddm.to_f64(carry.rec_y)
-                     if isinstance(carry.rec_y, ddm.DD) else carry.rec_y)
+            rec_y = (ddm.to_f64(recs.y)
+                     if isinstance(recs.y, ddm.DD) else recs.y)
             rc = None
             if dense_output:
                 # Flat (B, cap, C*n) record rows -> (B, cap, C, n).
-                rc = np.asarray(carry.rec_cont)
+                rc = np.asarray(recs.cont)
                 rc = rc.reshape(rc.shape[0], rc.shape[1], -1, n)
-            chunks.append((k, np.asarray(carry.rec_t),
+            chunks.append((valid, np.asarray(recs.t),
                            np.asarray(rec_y),
-                           np.asarray(carry.rec_xold),
-                           np.asarray(carry.rec_h), rc))
+                           np.asarray(recs.xold),
+                           np.asarray(recs.h), rc))
         if bool(np.all(np.asarray(carry.done))):
             break
-        carry = vreset(carry)
 
-    counts = (np.sum([c[0] for c in chunks], axis=0).astype(np.int64)
-              if chunks else np.zeros((B,), np.int64))
+    counts = (np.sum([c[0].sum(axis=1) for c in chunks], axis=0)
+              .astype(np.int64) if chunks else np.zeros((B,), np.int64))
     S = int(counts.max()) if chunks else 0
     C = engine.ncoeff
     ts = np.zeros((B, S))
@@ -1187,18 +1191,19 @@ def _drain_recording(entry, y0_batch, t0, tf, rtol, atol, preload=None):
     hs = np.zeros((B, S))
     conts = np.zeros((B, S, C, n)) if dense_output else None
     offs = np.zeros((B,), np.int64)
-    for k, ct, cy, cx, ch, cc in chunks:
-        cap = ct.shape[1]
-        mask = np.arange(cap)[None, :] < k[:, None]            # (B, cap)
-        rows, cols_in = np.nonzero(mask)
-        cols_out = offs[rows] + cols_in
+    for valid, ct, cy, cx, ch, cc in chunks:
+        # Compact: scan rows are in iteration (= chronological) order but
+        # interleaved with invalid (rejected / frozen-lane) rows — scatter
+        # each valid row to its per-lane running offset.
+        rows, cols_in = np.nonzero(valid)
+        cols_out = offs[rows] + np.cumsum(valid, axis=1)[rows, cols_in] - 1
         ts[rows, cols_out] = ct[rows, cols_in]
         ys[rows, cols_out] = cy[rows, cols_in]
         xolds[rows, cols_out] = cx[rows, cols_in]
         hs[rows, cols_out] = ch[rows, cols_in]
         if dense_output:
             conts[rows, cols_out] = cc[rows, cols_in]
-        offs = offs + k
+        offs = offs + valid.sum(axis=1)
     return carry, counts, ts, ys, xolds, hs, conts
 
 

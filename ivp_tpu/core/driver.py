@@ -33,6 +33,19 @@ class DriverConfig:
 
     rec_cap: int = 0           # step records per chunk (0 = final-state only)
     record_cont: bool = False  # also record dense coefficients
+    rec_scan: bool = False     # scan-based recording (ensemble tier): the
+    #                            chunk runs as a fixed-length lax.scan whose
+    #                            stacked per-iteration outputs ARE the
+    #                            records (structural indices -> plain DUS
+    #                            under vmap).  The while_loop design's
+    #                            per-lane cursor writes lower as batched
+    #                            scatters / full-buffer selects, measured
+    #                            20-100x the lean loop (docs/BENCH.md r5).
+    #                            Scan trades that for <= rec_cap masked
+    #                            attempts of tail waste per chunk.  The
+    #                            unbatched single-IVP driver keeps the
+    #                            while design (unbatched DUS is cheap and
+    #                            early exit wins at B=1).
     ncoeff: int = 0
     event_spec: Optional[EventSpec] = None
     sample_cap: int = 0        # in-loop t_grid emission buffer size (0 = off)
@@ -93,6 +106,20 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
+class RecOut(NamedTuple):
+    """Per-iteration record payload of the scan-based recording chunk
+    (stacked by lax.scan into (cap, ...) arrays; (B, cap, ...) under
+    vmap).  ``valid`` marks iterations that actually advanced a step —
+    the host drain compacts on it."""
+
+    t: Any      # accepted-step endpoint (event-truncated when terminal)
+    y: Any      # state at t, in the state representation (DD pytree for dd)
+    xold: Any   # left edge of the step
+    h: Any      # signed step size used
+    cont: Any   # (C*n,) flattened dense coefficients ((0,) if not recorded)
+    valid: Any  # bool — this iteration advanced (and the lane was live)
+
+
 def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
                 restart_fns=None):
     """Build (init_carry, run_chunk) for a given engine + static config.
@@ -103,7 +130,10 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
     """
     spec = cfg.event_spec
     has_events = spec is not None and spec.n_events > 0
-    cap = cfg.rec_cap
+    # Scan-based recording keeps NO record buffers in the carry (records
+    # come back as stacked scan outputs); cap gates the while-design
+    # in-carry buffers only.
+    cap = 0 if cfg.rec_scan else cfg.rec_cap
     C = cfg.ncoeff if cfg.record_cont else 0
     # Carried-segment cont rows for stall-based sampling: sized from the
     # ENGINE (cfg.ncoeff is 0 in the lean ensemble mode, but the engine
@@ -333,6 +363,17 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
                     & ((tau_n - t_step) * c.ms.posneg <= 0.0))
             done = done & ~pend
 
+        # Scan-mode record payload: the step's record row rides out as a
+        # scan output instead of an in-carry buffer write.
+        if cfg.rec_scan:
+            payload = RecOut(
+                t=t_rec, y=y_rec, xold=res.xold, h=res.h_used,
+                cont=(res.cont.reshape(-1) if cfg.record_cont
+                      else jnp.zeros((0,), c.rec_cont.dtype)),
+                valid=adv)
+        else:
+            payload = None
+
         # On terminal events the trajectory ends at the event point (the
         # reference reports the event point as the final sample,
         # solout.rs:314-325).
@@ -350,7 +391,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             n_restarts=n_restarts,
             seg_cont=seg_cont, seg_xold=seg_xold, seg_h=seg_h,
             seg_valid=seg_valid,
-        )
+        ), payload
 
     def body(c: Carry, ra: RunArgs) -> Carry:
         """One driver iteration: either one step attempt (step_body) or —
@@ -371,7 +412,7 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
         due = ((c.s_cursor < cfg.sample_cap) & c.seg_valid
                & ((tau - c.t) * posneg <= 0.0))
 
-        c2 = step_body(c, ra, stall=due)
+        c2, payload = step_body(c, ra, stall=due)
 
         # Emission merge: one masked one-hot row write into the sample
         # buffer (c2.sample_y is c.sample_y — the step path never touches
@@ -390,16 +431,17 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
         still = ((s_cursor < cfg.sample_cap) & c2.seg_valid
                  & ((tau2 - c2.t) * posneg <= 0.0))
         done = (c2.status != Status.RUNNING) & ~still
-        return c2._replace(sample_y=sample_y, s_cursor=s_cursor, done=done)
+        return c2._replace(sample_y=sample_y, s_cursor=s_cursor,
+                           done=done), payload
 
     if cfg.unroll > 1 and cap:
         raise ValueError("driver unroll requires rec_cap == 0 (lean mode)")
 
     def _body_unrolled(c: Carry, ra: RunArgs) -> Carry:
         if cfg.unroll <= 1:
-            return body(c, ra)
+            return body(c, ra)[0]
         for _ in range(cfg.unroll):
-            c2 = body(c, ra)
+            c2, _ = body(c, ra)
             c = tree_where(c.done, c, c2)  # freeze finished lanes mid-unroll
         return c
 
@@ -413,6 +455,21 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
             return go
 
         return lax.while_loop(cond, lambda c: _body_unrolled(c, ra), c)
+
+    def run_scan_chunk(c: Carry, ra: RunArgs):
+        """Scan-based recording chunk: exactly ``cfg.rec_cap`` iterations,
+        stacked RecOut records as scan outputs (structural indexing — no
+        per-lane scatter/one-hot buffer traffic under vmap).  Finished
+        lanes are frozen and emit valid=False rows; the host drain
+        compacts on the validity mask."""
+
+        def sbody(cc, _):
+            cc2, payload = body(cc, ra)
+            cc3 = tree_where(cc.done, cc, cc2)
+            payload = payload._replace(valid=payload.valid & ~cc.done)
+            return cc3, payload
+
+        return lax.scan(sbody, c, None, length=cfg.rec_cap)
 
     def reset_records(c: Carry) -> Carry:
         """Host-side drain helper: clear the record cursor between chunks."""
@@ -431,6 +488,8 @@ def make_driver(engine: Engine, p, cfg: DriverConfig, rhs, events_fn=None,
 
         return lax.while_loop(cond, lambda cc: _body_unrolled(cc, ra), c)
 
+    if cfg.rec_scan:
+        return init_carry, run_scan_chunk, reset_records, run_bounded
     return init_carry, run_chunk, reset_records, run_bounded
 
 
