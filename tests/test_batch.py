@@ -716,3 +716,35 @@ def test_sharded_recording_solver_cached(monkeypatch):
 
 def _sho_cached_rhs(t, y):
     return jnp.array([y[1], -y[0]])
+
+
+def test_stall_emission_many_samples_per_step():
+    """Round-5 stall-based sampling: a dense grid over coarse steps puts
+    MANY due samples inside one accepted step — the lane must stall and
+    emit them one per driver iteration, each interpolated within the
+    step that covered it (driver.py body/step_body)."""
+    B = 4
+    lam = np.linspace(0.4, 1.0, B).reshape(B, 1)
+    grid = np.linspace(0.0, 3.0, 64)  # ~10x denser than the step grid
+    res = solve_ivp_ensemble(expdec, (0.0, 3.0), lam, method="RK45",
+                             rtol=1e-3, atol=1e-6, t_eval=grid)
+    assert np.all(np.asarray(res.n_samples) == 64)
+    # Loose-rtol solves take ~10 steps over [0,3]: >5 samples per step.
+    assert np.all(np.asarray(res.naccpt) < 16)
+    ys = np.asarray(res.y_samples)[:, :, 0]
+    expected = lam * np.exp(-grid)[None, :]
+    np.testing.assert_allclose(ys, expected, rtol=2e-3, atol=1e-6)
+
+
+def test_stall_emission_drains_after_finish():
+    """Samples due at/near tend must still be emitted after the engine
+    finishes (done is deferred until the drain completes)."""
+    B = 3
+    lam = np.ones((B, 1))
+    grid = np.asarray([0.0, 2.9999, 3.0])  # last two inside the final step
+    res = solve_ivp_ensemble(expdec, (0.0, 3.0), lam, method="RK45",
+                             rtol=1e-9, atol=1e-12, t_eval=grid)
+    assert np.all(np.asarray(res.n_samples) == 3)
+    np.testing.assert_allclose(np.asarray(res.y_samples)[:, -1, 0],
+                               np.exp(-3.0), rtol=1e-8)
+    assert np.all(np.asarray(res.status) == 0)
